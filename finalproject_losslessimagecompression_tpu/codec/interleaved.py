@@ -1,0 +1,302 @@
+"""Vectorized interleaved rANS on TPU (pure JAX / XLA).
+
+The reference entropy coder (reference: rans/rans.pyx:37-110) is a single
+serial stream: one 64-bit state, one symbol at a time, on the CPU.  That
+model is hostile to TPUs, so this codec runs S independent rANS streams in
+lockstep on the VPU: symbol i goes to stream i % S, and a `lax.scan` over
+t = 0..k-1 advances all S streams by one symbol per step.  Per-stream coder
+semantics (state interval [2^32, 2^64), 32-bit word renormalization,
+M = 2^24 quantized-logistic CDF, update rule) are IDENTICAL to the NumPy
+oracle, verified by golden tests.
+
+Interleaving uses a single global word buffer in deterministic
+(step, stream) emission order (Giesen-style): the decoder re-derives each
+step's refill set from its own states, ranks the refilling streams by index,
+and pops that many words off the tail -- so the container needs NO
+per-stream counts or offsets.
+
+64-bit state emulation: TPUs have no native 64-bit integers, so the state is
+a pair of uint32 limbs (hi, lo).  The only hard op is the update division
+state // freq (freq < 2^24, state < freq*2^40 after renorm); it is done by
+base-256 long division -- 5 uint32 divisions per symbol, all vectorized.
+
+Stream-state overhead: the final states of streams 1..S-1 are entropy-coded
+into stream 0 as uniform 16-bit symbols (shift-only rANS ops, zero
+redundancy; see container.py), so total flush overhead is ~64 bits per
+container, matching the reference's 64*nsplit accounting (trainer.py:327).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cdf import GRID, NBINS, _HALF_BIN, _INV_GRID, _PMAX
+
+_U = jnp.uint32
+MASK24 = np.uint32((1 << 24) - 1)
+PAD_MEAN = np.float32(0.0)
+PAD_SCALE = np.float32(1e-6)  # near-delta: padding symbols cost ~0.0002 bits
+PAD_VALUE = np.int32(0)
+STEP_QUANTUM = 16  # bucket scan lengths to limit recompilation
+
+
+@dataclass
+class EncodedStreams:
+    """Device-side result of an interleaved encode (before container pack)."""
+
+    words: jax.Array  # [cap] uint32, global emission buffer, (t, s) order
+    num_words: int  # words actually used (prefix of `words`)
+    state_hi: jax.Array  # [S] uint32 final states
+    state_lo: jax.Array  # [S] uint32
+    n: int  # number of real (unpadded) symbols
+    num_streams: int
+
+
+# ---------------------------------------------------------------------------
+# CDF evaluation (same op sequence as cdf.cdf_bits_jnp, inlined for fusion)
+# ---------------------------------------------------------------------------
+
+
+def _cdf_u32(v, mean, scale, lower):
+    vf = v.astype(jnp.float32) * _INV_GRID
+    t = (vf + _HALF_BIN - mean) / scale
+    sig = jnp.float32(1.0) / (jnp.float32(1.0) + jnp.exp(-t))
+    part1 = jnp.round(sig * _PMAX).astype(jnp.int32)
+    part2 = v - lower + jnp.int32(1)
+    return (part1 + part2).astype(_U)
+
+
+def _lower_bin(mean):
+    return jnp.round(mean * jnp.float32(GRID)).astype(jnp.int32) - jnp.int32(
+        NBINS // 2
+    )
+
+
+# ---------------------------------------------------------------------------
+# uint32 limb arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _div_state_by_freq(hi, lo, f):
+    """(hi*2^32 + lo) // f and % f, with state < f*2^40, f in [1, 2^24].
+
+    Base-256 long division: one division folds the whole hi limb (its
+    quotient contribution, at weight 2^32, is < 2^8 because the full
+    quotient is < 2^40), then four byte steps over lo.  Every intermediate
+    dividend fits uint32: r < f <= 2^24, so r*256 + byte <= f*256-1 < 2^32.
+    """
+    q_top = hi // f
+    r = hi % f
+    acc = (r << 8) | (lo >> 24)
+    q3 = acc // f
+    r = acc % f
+    acc = (r << 8) | ((lo >> 16) & _U(0xFF))
+    q2 = acc // f
+    r = acc % f
+    acc = (r << 8) | ((lo >> 8) & _U(0xFF))
+    q1 = acc // f
+    r = acc % f
+    acc = (r << 8) | (lo & _U(0xFF))
+    q0 = acc // f
+    r = acc % f
+    q_lo = (q3 << 24) | (q2 << 16) | (q1 << 8) | q0
+    return q_top, q_lo, r  # quotient = q_top*2^32 + q_lo
+
+
+def _umul32(a, b):
+    """Full 64-bit product of two uint32 -> (hi, lo) uint32 limbs."""
+    a0 = a & _U(0xFFFF)
+    a1 = a >> 16
+    b0 = b & _U(0xFFFF)
+    b1 = b >> 16
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    mid = lh + hl
+    hh = hh + ((mid < lh).astype(_U) << 16)  # carry out of mid
+    lo = ll + (mid << 16)
+    hh = hh + (lo < ll).astype(_U)
+    return hh + (mid >> 16), lo
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+
+def _encode_step(carry, xs):
+    hi, lo = carry
+    v, mean, scale = xs
+    lower = _lower_bin(mean)
+    c_start = _cdf_u32(v - 1, mean, scale, lower)
+    c_end = _cdf_u32(v, mean, scale, lower)
+    f = c_end - c_start
+
+    # renormalize: state >= f << 40  <=>  hi >= f << 8   (f < 2^24)
+    emit = hi >= (f << 8)
+    word = jnp.where(emit, lo, _U(0))
+    lo = jnp.where(emit, hi, lo)
+    hi = jnp.where(emit, _U(0), hi)
+
+    # state = ((state // f) << 24) + state % f + cdf
+    q_top, q_lo, r = _div_state_by_freq(hi, lo, f)
+    add = r + c_start  # < 2^25
+    new_lo = (q_lo << 24) + add
+    carry_bit = (new_lo < add).astype(_U)
+    new_hi = (q_top << 24) + (q_lo >> 8) + carry_bit
+    return (new_hi, new_lo), (word, emit)
+
+
+@partial(jax.jit, static_argnames=("num_streams", "steps"))
+def _encode_scan(values, means, scales, num_streams: int, steps: int):
+    S = num_streams
+    hi0 = jnp.ones((S,), _U)  # initial state = 2^32 (reference: coder.py:18)
+    lo0 = jnp.zeros((S,), _U)
+    (hi, lo), (words_t, emit_t) = jax.lax.scan(
+        _encode_step, (hi0, lo0), (values, means, scales)
+    )
+    # Compact [k, S] emissions into one global buffer in (t, s) order.
+    flags = emit_t.reshape(-1)
+    words = words_t.reshape(-1)
+    flags_i = flags.astype(jnp.int32)
+    pos = jnp.cumsum(flags_i) - flags_i  # exclusive prefix
+    total = jnp.sum(flags_i)
+    cap = steps * S
+    safe_pos = jnp.where(flags, pos, cap)  # OOB rows dropped
+    buf = jnp.zeros((cap,), _U).at[safe_pos].set(words, mode="drop")
+    return buf, total, hi, lo
+
+
+def _layout(arr, n, S, k, pad_const):
+    flat = jnp.asarray(arr).reshape(-1)
+    pad = S * k - n
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full((pad,), pad_const, flat.dtype)])
+    return flat.reshape(k, S)
+
+
+def _plan_steps(n: int, S: int) -> int:
+    k = -(-n // S)
+    return -(-k // STEP_QUANTUM) * STEP_QUANTUM
+
+
+def pick_num_streams(n: int, requested: int = 1024) -> int:
+    return int(min(requested, max(8, n)))
+
+
+def interleaved_encode(
+    values, means, scales, num_streams: int = 1024
+) -> EncodedStreams:
+    """Encode integer-bin symbols (v = round(x*256)) with S parallel streams.
+
+    values: int-like [n]; means/scales: float32 [n]. Returns device buffers.
+    """
+    values = jnp.asarray(values, jnp.int32).reshape(-1)
+    n = int(values.shape[0])
+    S = pick_num_streams(n, num_streams)
+    k = _plan_steps(n, S)
+    v = _layout(values, n, S, k, PAD_VALUE)
+    m = _layout(jnp.asarray(means, jnp.float32), n, S, k, PAD_MEAN)
+    s = _layout(jnp.asarray(scales, jnp.float32), n, S, k, PAD_SCALE)
+    buf, total, hi, lo = _encode_scan(v, m, s, S, k)
+    return EncodedStreams(
+        words=buf,
+        num_words=int(jax.device_get(total)),
+        state_hi=hi,
+        state_lo=lo,
+        n=n,
+        num_streams=S,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_step(carry, xs, *, buf):
+    hi, lo, ptr = carry
+    mean, scale = xs
+    S = hi.shape[0]
+
+    # refill: state < 2^32  <=>  hi == 0.  Streams that refill at this step
+    # pop, in ascending stream order, the last `cnt` words of the remaining
+    # buffer -- the exact reverse of the encoder's (t, s) emission order.
+    need = hi == _U(0)
+    need_i = need.astype(jnp.int32)
+    rank = jnp.cumsum(need_i) - need_i
+    cnt = jnp.sum(need_i)
+    idx = jnp.clip(ptr - cnt + rank, 0, buf.shape[0] - 1)
+    word = buf[idx]
+    hi = jnp.where(need, lo, hi)
+    lo = jnp.where(need, word, lo)
+    ptr = ptr - cnt
+
+    mod = lo & MASK24
+    lower = _lower_bin(mean)
+
+    # binary search over the 2048-bin window: smallest v with CDF(v) > mod
+    lo_b = lower
+    hi_b = lower + jnp.int32(NBINS - 1)
+    for _ in range(11):  # 2^11 = 2048
+        mid = (lo_b + hi_b) >> 1
+        c = _cdf_u32(mid, mean, scale, lower)
+        gt = c > mod
+        hi_b = jnp.where(gt, mid - 1, hi_b)
+        lo_b = jnp.where(gt, lo_b, mid + 1)
+    v = lo_b
+
+    c_lo = _cdf_u32(v - 1, mean, scale, lower)
+    c_hi = _cdf_u32(v, mean, scale, lower)
+    f = c_hi - c_lo
+
+    # state = (state >> 24) * f + mod - cdf
+    t_lo = (hi << 8) | (lo >> 24)
+    t_hi = hi >> 24
+    p_hi, p_lo = _umul32(t_lo, f)
+    p_hi = p_hi + t_hi * f
+    delta = (mod - c_lo).astype(jnp.int32)  # in (-2^24, 2^24)
+    new_lo = p_lo + delta.astype(_U)
+    carry_bit = (new_lo < p_lo).astype(_U)
+    sign_ext = jnp.where(delta < 0, _U(0xFFFFFFFF), _U(0))
+    new_hi = p_hi + sign_ext + carry_bit
+    return (new_hi, new_lo, ptr), v
+
+
+@partial(jax.jit, static_argnames=())
+def _decode_scan(buf, num_words, hi, lo, means, scales):
+    step = partial(_decode_step, buf=buf)
+    (hi, lo, ptr), vals = jax.lax.scan(
+        step, (hi, lo, num_words), (means, scales), reverse=True
+    )
+    return vals, hi, lo, ptr
+
+
+def interleaved_decode(
+    enc: EncodedStreams, means, scales
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode all symbols given the same means/scales used at encode time
+    (flat [n], encode order). Returns (values int32 [n], state_hi, state_lo);
+    a successful decode returns every stream's state to 2^32 (hi==1, lo==0),
+    mirroring the reference invariant (trainer.py:326)."""
+    S = enc.num_streams
+    n = enc.n
+    k = _plan_steps(n, S)
+    m = _layout(jnp.asarray(means, jnp.float32), n, S, k, PAD_MEAN)
+    s = _layout(jnp.asarray(scales, jnp.float32), n, S, k, PAD_SCALE)
+    vals, hi, lo, ptr = _decode_scan(
+        enc.words,
+        jnp.asarray(enc.num_words, jnp.int32),
+        enc.state_hi,
+        enc.state_lo,
+        m,
+        s,
+    )
+    return vals.reshape(-1)[:n], hi, lo

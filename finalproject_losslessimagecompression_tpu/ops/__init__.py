@@ -1,0 +1,19 @@
+from .rounding import round_ste, round_to_grid
+from .dlogistic import dlogistic_log_prob, dlogistic_sample
+from .reshape import (
+    space_to_depth,
+    depth_to_space,
+    patch_split,
+    patch_merge,
+)
+
+__all__ = [
+    "round_ste",
+    "round_to_grid",
+    "dlogistic_log_prob",
+    "dlogistic_sample",
+    "space_to_depth",
+    "depth_to_space",
+    "patch_split",
+    "patch_merge",
+]

@@ -1,0 +1,174 @@
+"""Codec correctness: CDF golden properties, oracle round-trips, and
+bit-exact parity of the vectorized JAX codec against the NumPy oracle."""
+
+import numpy as np
+import pytest
+
+from finalproject_losslessimagecompression_tpu.codec import (
+    GRID,
+    NBINS,
+    PRECISION,
+    RANS_L,
+    cdf_bits_jnp,
+    cdf_bits_np,
+    lower_bin,
+    decode_tensor,
+    encode_tensor,
+    interleaved_decode,
+    interleaved_encode,
+    pack_streams,
+    rans_decode_np,
+    rans_encode_np,
+    roundtrip_np,
+    unpack_streams,
+)
+
+
+def _random_symbols(rng, n, mean_range=4.0, logscale_range=(-5.0, 0.5)):
+    means = rng.uniform(-mean_range, mean_range, n).astype(np.float32)
+    logscales = rng.uniform(*logscale_range, n).astype(np.float32)
+    scales = np.exp(logscales).astype(np.float32)
+    # sample roughly from the model then round to grid, clipped into window
+    raw = means + scales * rng.logistic(0, 1, n).astype(np.float32)
+    v = np.round(raw * GRID).astype(np.int32)
+    low = lower_bin(means)
+    v = np.clip(v, low, low + NBINS - 1)
+    return v, means, scales
+
+
+class TestCDF:
+    def test_window_edges(self, rng):
+        # CDF range is always within [0, M]; when the tails fit inside the
+        # 2048-bin window (small scales) the edges are exactly 0 and M.
+        v, means, scales = _random_symbols(rng, 1000)
+        low = lower_bin(means)
+        lo_edge = cdf_bits_np(low - 1, means, scales, low).astype(np.int64)
+        hi_edge = cdf_bits_np(low + NBINS - 1, means, scales, low).astype(
+            np.int64
+        )
+        assert np.all(lo_edge >= 0) and np.all(hi_edge <= PRECISION)
+        tight = scales < 0.1
+        assert np.all(lo_edge[tight] == 0)
+        assert np.all(hi_edge[tight] == PRECISION)
+
+    def test_monotone_positive_freq(self, rng):
+        means = rng.uniform(-2, 2, 64).astype(np.float32)
+        scales = np.exp(rng.uniform(-6, 1, 64)).astype(np.float32)
+        low = lower_bin(means)
+        prev = cdf_bits_np(low - 1, means, scales, low).astype(np.int64)
+        for off in range(NBINS):
+            cur = cdf_bits_np(low + off, means, scales, low).astype(np.int64)
+            assert np.all(cur - prev >= 1), f"zero freq at offset {off}"
+            prev = cur
+
+    def test_np_jnp_close(self, rng):
+        """XLA's exp differs from libm by ULPs, so the twins are not bit-equal
+        across backends (the codec contract is per-backend self-consistency);
+        but they must agree to a few code units -- a guard against gross
+        formula divergence."""
+        v, means, scales = _random_symbols(rng, 20000)
+        low = lower_bin(means)
+        a = cdf_bits_np(v, means, scales, low).astype(np.int64)
+        b = np.asarray(cdf_bits_jnp(v, means, scales, low)).astype(np.int64)
+        assert np.max(np.abs(a - b)) <= 16
+        assert np.mean(a != b) < 0.25
+
+
+class TestOracle:
+    def test_roundtrip_small(self, rng):
+        v, means, scales = _random_symbols(rng, 500)
+        assert roundtrip_np(v, means, scales)
+
+    def test_roundtrip_extreme_scales(self, rng):
+        v, means, scales = _random_symbols(rng, 300, logscale_range=(-9.0, 2.0))
+        assert roundtrip_np(v, means, scales)
+
+    def test_state_returns_exactly(self, rng):
+        v, means, scales = _random_symbols(rng, 200)
+        state, words = rans_encode_np(RANS_L, v, means, scales)
+        st2, dec = rans_decode_np(
+            state, words, len(v), means[::-1], scales[::-1]
+        )
+        assert st2 == RANS_L
+        assert np.array_equal(dec[::-1], v)
+
+
+class TestInterleaved:
+    @pytest.mark.parametrize("n,S", [(100, 8), (1000, 16), (5000, 64)])
+    def test_roundtrip(self, rng, n, S):
+        v, means, scales = _random_symbols(rng, n)
+        enc = interleaved_encode(v, means, scales, num_streams=S)
+        dec, hi, lo = interleaved_decode(enc, means, scales)
+        assert np.all(np.asarray(hi) == 1) and np.all(np.asarray(lo) == 0)
+        assert np.array_equal(np.asarray(dec), v)
+
+    def test_matches_oracle_per_stream(self, rng):
+        """Stream j of the interleaved codec must produce exactly the oracle's
+        single-stream states/words for the subsequence of symbols j, j+S, ..."""
+        n, S = 512, 8
+        v, means, scales = _random_symbols(rng, n)
+        enc = interleaved_encode(v, means, scales, num_streams=S)
+        hi = np.asarray(enc.state_hi, np.uint64)
+        lo = np.asarray(enc.state_lo, np.uint64)
+        # padded tail symbols (pad to k*S) use the PAD constants
+        from finalproject_losslessimagecompression_tpu.codec.interleaved import (
+            PAD_MEAN,
+            PAD_SCALE,
+            PAD_VALUE,
+            _plan_steps,
+        )
+
+        k = _plan_steps(n, S)
+        total = k * S
+        vp = np.concatenate([v, np.full(total - n, PAD_VALUE, np.int32)])
+        mp = np.concatenate([means, np.full(total - n, PAD_MEAN, np.float32)])
+        sp = np.concatenate([scales, np.full(total - n, PAD_SCALE, np.float32)])
+        def cdf_jnp(v_, m_, s_, l_):
+            return np.asarray(cdf_bits_jnp(v_, m_, s_, l_))
+
+        for j in [0, 3, S - 1]:
+            st, words = rans_encode_np(
+                RANS_L, vp[j::S], mp[j::S], sp[j::S], cdf_eval=cdf_jnp
+            )
+            assert st == (int(hi[j]) << 32) | int(lo[j])
+
+    def test_container_roundtrip(self, rng):
+        v, means, scales = _random_symbols(rng, 3000)
+        enc = interleaved_encode(v, means, scales, num_streams=32)
+        blob = pack_streams(enc)
+        enc2 = unpack_streams(blob)
+        dec, hi, lo = interleaved_decode(enc2, means, scales)
+        assert np.all(np.asarray(hi) == 1) and np.all(np.asarray(lo) == 0)
+        assert np.array_equal(np.asarray(dec), v)
+
+    def test_tensor_api(self, rng):
+        shape = (4, 8, 8, 6)
+        n = int(np.prod(shape))
+        v, means, scales = _random_symbols(rng, n)
+        lat = (v.astype(np.float32) / 256.0).reshape(shape)
+        m = means.reshape(shape)
+        ls = np.log(scales).reshape(shape).astype(np.float32)
+        blob = encode_tensor(lat, m, ls, num_streams=64)
+        out = decode_tensor(blob, m, ls)
+        assert np.array_equal(np.asarray(out), lat)
+
+    def test_compression_rate_near_entropy(self, rng):
+        """Coded size should be close to the analytic discretized-logistic
+        entropy (within a few percent + state overhead)."""
+        n = 20000
+        v, means, scales = _random_symbols(rng, n, logscale_range=(-3.0, 0.0))
+        lat = v.astype(np.float32) / 256.0
+        ls = np.log(scales).astype(np.float32)
+        import jax.numpy as jnp
+
+        from finalproject_losslessimagecompression_tpu.ops import (
+            dlogistic_log_prob,
+        )
+
+        logp = dlogistic_log_prob(
+            jnp.asarray(lat), jnp.asarray(means), jnp.asarray(ls)
+        )
+        analytic_bits = float(-np.sum(np.asarray(logp))) / np.log(2.0)
+        blob = encode_tensor(lat, means, ls, num_streams=64)
+        coded_bits = 8 * len(blob)
+        assert coded_bits < analytic_bits * 1.05 + 2048
