@@ -188,7 +188,11 @@ def _plan_steps(n: int, S: int) -> int:
 
 
 def pick_num_streams(n: int, requested: int = 1024) -> int:
-    return int(min(requested, max(8, n)))
+    """Cap parallelism so each stream codes >= ~128 symbols: a stream's flush
+    wastes up to ~32 bits of state headroom, so short streams would dominate
+    the rate (the reference's single stream pays this once, trainer.py:327;
+    we pay it S times and amortize by sizing S to the message)."""
+    return int(min(requested, max(8, n // 128)))
 
 
 def interleaved_encode(
@@ -201,6 +205,7 @@ def interleaved_encode(
     values = jnp.asarray(values, jnp.int32).reshape(-1)
     n = int(values.shape[0])
     S = pick_num_streams(n, num_streams)
+    del num_streams
     k = _plan_steps(n, S)
     v = _layout(values, n, S, k, PAD_VALUE)
     m = _layout(jnp.asarray(means, jnp.float32), n, S, k, PAD_MEAN)

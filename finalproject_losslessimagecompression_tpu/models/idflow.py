@@ -1,0 +1,226 @@
+"""Multi-scale integer discrete flow (IDFlow) with optional conditioning.
+
+TPU-native re-design of the reference's IDFlows / ConditionalFlows
+(reference: flows.py:25-181, flows.py:278-361): per split level
+    squeeze (space-to-depth) -> nflows x [channel-permute -> additive
+    coupling] -> final permute -> factor out z (half the channels) with a
+    learned discretized-logistic prior over the kept half.
+The last level factors everything with an unconditional prior
+(zeros input -> learned constants, priorlib.py:42-44).  Conditional mode
+feeds a per-level downscaled reconstruction into every prior
+(flows.py:303-327).
+
+Unlike the reference -- whose `encode`/`decode` were empty stubs
+(flows.py:177-181) -- this model supports a REAL decode: level-by-level
+prior regeneration interleaved with rANS decoding (see exact.py).
+
+All data paths are NHWC; the flow body is pure convs + gathers +
+grid-exact adds, which XLA maps onto MXU + VPU with full fusion.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.dlogistic import dlogistic_log_prob
+from ..ops.reshape import depth_to_space, space_to_depth
+from ..ops.rounding import round_to_grid
+from .config import FlowCfg, LevelPlan, latent_shapes, level_plans
+from .invertible import AdditiveCoupling, Prior, inverse_permutation, permutation
+
+
+def flow_permutations(cfg: FlowCfg):
+    """All channel permutations: perms[level][0..nflows] (one before each
+    coupling plus a final one, mirroring flows.py:67-71)."""
+    plans = level_plans(cfg)
+    return [
+        [
+            permutation(cfg.perm_seed, level, step, plans[level].channel)
+            for step in range(cfg.nflows + 1)
+        ]
+        for level in range(cfg.nsplit)
+    ]
+
+
+def fold_batch(x, batch_squeeze: int):
+    """Fold batch into channels (reference: flows.py:92-95): pad the batch by
+    repeating sample 0 up to `batch_squeeze`, then [B,H,W,C]->[1,H,W,B*C]."""
+    b = x.shape[0]
+    if b < batch_squeeze:
+        reps = jnp.repeat(x[:1], batch_squeeze - b, axis=0)
+        x = jnp.concatenate([x, reps], axis=0)
+    b, h, w, c = x.shape
+    return jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h, w, b * c)
+
+
+def unfold_batch(x, channels: int):
+    """Inverse of fold_batch back to [B,H,W,channels]."""
+    _, h, w, bc = x.shape
+    b = bc // channels
+    return jnp.transpose(x.reshape(h, w, b, channels), (2, 0, 1, 3))
+
+
+class IDFlow(nn.Module):
+    cfg: FlowCfg
+
+    def setup(self):
+        cfg = self.cfg
+        plans = level_plans(cfg)
+        self.plans = plans
+        couples = []
+        priors = []
+        cond_convs = []
+        for level, p in enumerate(plans):
+            couples.append(
+                [
+                    AdditiveCoupling(p.channel, cfg.couple)
+                    for _ in range(cfg.nflows)
+                ]
+            )
+            priors.append(Prior(p.z_ch, cfg.prior_nn))
+            if cfg.conditional and cfg.conv_for_cond:
+                cond_convs.append(
+                    nn.Conv(
+                        p.cond_ch,
+                        (4, 4),
+                        strides=(2, 2),
+                        padding=((1, 1), (1, 1)),
+                    )
+                )
+        self.couples = couples
+        self.priors = priors
+        if cond_convs:
+            self.cond_convs = cond_convs
+        self._perms = flow_permutations(cfg)
+        self._inv_perms = [
+            [inverse_permutation(p) for p in lvl] for lvl in self._perms
+        ]
+
+    # -- helpers -----------------------------------------------------------
+
+    @property
+    def latent_shapes(self):
+        return latent_shapes(self.cfg)
+
+    def cond_features(self, cond):
+        """Per-level conditioning features (reference: flows.py:310-313 for
+        extend mode, flows.py:298-301,334-336 for strided convs)."""
+        feats = []
+        c = cond
+        for level in range(self.cfg.nsplit):
+            if self.cfg.conv_for_cond:
+                c = self.cond_convs[level](c)
+            else:
+                c = space_to_depth(c, self.cfg.extend_scale)
+            feats.append(c)
+        return feats
+
+    def couple_t(self, xa, level: int, step: int):
+        """Rounded coupling shift for (level, step) -- the shared compiled
+        unit for exact encode/decode."""
+        return self.couples[level][step].t(xa)
+
+    def prior_params(self, ref, level: int, cond_l=None):
+        """(mean, logscale) for level's z.  `ref` is the kept half for
+        non-last levels and any z-shaped array at the last level (only its
+        shape is used: the prior there sees zeros, priorlib.py:42-44)."""
+        last = level == self.cfg.nsplit - 1
+        h = jnp.zeros_like(ref) if last else ref
+        if self.cfg.conditional:
+            h = jnp.concatenate([h, cond_l], axis=-1)
+        return self.priors[level](h)
+
+    def _flow_level(self, x, level: int):
+        for step, cp in enumerate(self.couples[level]):
+            x = jnp.take(x, self._perms[level][step], axis=-1)
+            x = cp(x)
+        return jnp.take(x, self._perms[level][self.cfg.nflows], axis=-1)
+
+    def _flow_level_inverse(self, x, level: int):
+        x = jnp.take(x, self._inv_perms[level][self.cfg.nflows], axis=-1)
+        for step in range(self.cfg.nflows - 1, -1, -1):
+            x = self.couples[level][step].inverse(x)
+            x = jnp.take(x, self._inv_perms[level][step], axis=-1)
+        return x
+
+    # -- main paths --------------------------------------------------------
+
+    def __call__(self, x, cond=None):
+        """Forward transform -> (latents, means, logscales) per split level
+        (reference: flows.py:87-116, flows.py:303-327)."""
+        cfg = self.cfg
+        if cfg.batch_squeeze:
+            x = fold_batch(x, cfg.batch_squeeze)
+        conds = self.cond_features(cond) if cfg.conditional else None
+        latents, means, logscales = [], [], []
+        for level, p in enumerate(self.plans):
+            x = space_to_depth(x, cfg.extend_scale)
+            x = self._flow_level(x, level)
+            if level < cfg.nsplit - 1:
+                z, keep = x[..., : p.z_ch], x[..., p.z_ch :]
+            else:
+                z, keep = x, x
+            mean, logscale = self.prior_params(
+                keep if level < cfg.nsplit - 1 else z,
+                level,
+                conds[level] if conds else None,
+            )
+            latents.append(z)
+            means.append(mean)
+            logscales.append(logscale)
+            x = keep
+        return latents, means, logscales
+
+    def inverse_from_latents(self, latents: Sequence, cond=None):
+        """Invert exact latents back to the input (reference:
+        flows.py:139-152 generated_from_latents)."""
+        cfg = self.cfg
+        x = None
+        for level in range(cfg.nsplit - 1, -1, -1):
+            z = latents[level]
+            x = z if level == cfg.nsplit - 1 else jnp.concatenate([z, x], -1)
+            x = self._flow_level_inverse(x, level)
+            x = depth_to_space(x, cfg.extend_scale)
+        if cfg.batch_squeeze:
+            x = unfold_batch(x, cfg.C)
+        return x
+
+    def sample_from_noise(self, noises: Sequence, cond=None):
+        """Map standard-logistic noise latents through priors and inverse
+        flows (reference: flows.py:118-137, flows.py:329-361)."""
+        cfg = self.cfg
+        conds = self.cond_features(cond) if cfg.conditional else None
+        x = None
+        for level in range(cfg.nsplit - 1, -1, -1):
+            noise = noises[level]
+            ref = noise if level == cfg.nsplit - 1 else x
+            mean, logscale = self.prior_params(
+                ref, level, conds[level] if conds else None
+            )
+            z = round_to_grid(
+                noise * jnp.exp(logscale) + mean, cfg.nbits
+            )
+            x = z if level == cfg.nsplit - 1 else jnp.concatenate([z, x], -1)
+            x = self._flow_level_inverse(x, level)
+            x = depth_to_space(x, cfg.extend_scale)
+        if cfg.batch_squeeze:
+            x = unfold_batch(x, cfg.C)
+        return x
+
+
+def log_likelihood(
+    cfg: FlowCfg, latents, means, logscales
+) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Per-sample log-likelihood in nats/dim plus per-split mean log-probs
+    (reference: flows.py:154-169; normalization by H*W*C at flows.py:168)."""
+    log_prob = jnp.zeros(latents[0].shape[0], jnp.float32)
+    per_split = []
+    for z, mean, logscale in zip(latents, means, logscales):
+        logp = dlogistic_log_prob(z, mean, logscale, cfg.nbits)
+        per_split.append(jnp.mean(logp, axis=(1, 2, 3)))
+        log_prob = log_prob + jnp.sum(logp, axis=(1, 2, 3))
+    return log_prob / (cfg.H * cfg.W * cfg.C), per_split

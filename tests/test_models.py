@@ -1,0 +1,182 @@
+"""Flow model contracts: exact invertibility on the integer grid, real
+compress->decompress bit-exactness, conditional flows, likelihoods."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from finalproject_losslessimagecompression_tpu.models import (
+    FlowCfg,
+    FlowCodec,
+    IDFlow,
+    latent_shapes,
+    log_likelihood,
+)
+from finalproject_losslessimagecompression_tpu.ops import round_to_grid
+
+
+def small_cfg(**kw):
+    defaults = dict(
+        H=8,
+        W=8,
+        C=3,
+        nflows=2,
+        nsplit=2,
+        extend_scale=2,
+        couple=__import__(
+            "finalproject_losslessimagecompression_tpu.models.config",
+            fromlist=["CouplingCfg"],
+        ).CouplingCfg(
+            split=0.75,
+            nn=__import__(
+                "finalproject_losslessimagecompression_tpu.models.config",
+                fromlist=["DenseBlockCfg"],
+            ).DenseBlockCfg(growth_channel=8, depth=2, act="LeakyReLU"),
+        ),
+        prior_nn=__import__(
+            "finalproject_losslessimagecompression_tpu.models.config",
+            fromlist=["DenseBlockCfg"],
+        ).DenseBlockCfg(growth_channel=8, depth=2, act="LeakyReLU"),
+    )
+    defaults.update(kw)
+    return FlowCfg(**defaults)
+
+
+def randomize_projections(params, key, scale=0.05):
+    """Zero-init final convs make couplings identity at init; perturb them so
+    invertibility tests actually exercise the coupling NNs."""
+
+    def visit(path, leaf):
+        if any(getattr(p, "key", None) == "proj" for p in path):
+            k = jax.random.fold_in(key, abs(hash(str(path))) % (2**31))
+            return scale * jax.random.normal(k, leaf.shape, leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def grid_batch(rng, shape):
+    return round_to_grid(
+        jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32)), 8
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = small_cfg()
+    model = IDFlow(cfg)
+    rng = np.random.default_rng(1)
+    x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
+    params = model.init(jax.random.PRNGKey(0), x)
+    params = randomize_projections(params, jax.random.PRNGKey(7))
+    return cfg, model, params
+
+
+class TestIDFlow:
+    def test_latent_shapes(self, model_and_params, rng):
+        cfg, model, params = model_and_params
+        x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
+        latents, means, logscales = model.apply(params, x)
+        shapes = latent_shapes(cfg)
+        assert len(latents) == cfg.nsplit
+        for z, m, ls, s in zip(latents, means, logscales, shapes):
+            assert z.shape == (2,) + s
+            assert m.shape == z.shape and ls.shape == z.shape
+
+    def test_latents_on_grid(self, model_and_params, rng):
+        cfg, model, params = model_and_params
+        x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
+        latents, _, _ = model.apply(params, x)
+        for z in latents:
+            arr = np.asarray(z) * 256
+            assert np.array_equal(arr, np.round(arr))
+
+    def test_exact_invertibility(self, model_and_params, rng):
+        cfg, model, params = model_and_params
+        x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
+        latents, _, _ = model.apply(params, x)
+        rec = model.apply(params, latents, method=IDFlow.inverse_from_latents)
+        assert np.array_equal(np.asarray(rec), np.asarray(x))
+
+    def test_log_likelihood_finite(self, model_and_params, rng):
+        cfg, model, params = model_and_params
+        x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
+        latents, means, logscales = model.apply(params, x)
+        lp, per_split = log_likelihood(cfg, latents, means, logscales)
+        assert lp.shape == (2,)
+        assert np.all(np.isfinite(np.asarray(lp)))
+        assert len(per_split) == cfg.nsplit
+
+    def test_sample_shapes(self, model_and_params, rng):
+        cfg, model, params = model_and_params
+        noises = [
+            jnp.zeros((3,) + s, jnp.float32) for s in latent_shapes(cfg)
+        ]
+        img = model.apply(params, noises, method=IDFlow.sample_from_noise)
+        assert img.shape == (3, cfg.H, cfg.W, cfg.C)
+
+
+class TestFlowCodec:
+    def test_compress_decompress_bit_exact(self, model_and_params, rng):
+        cfg, model, params = model_and_params
+        codec = FlowCodec(model, num_streams=64)
+        x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
+        blobs, info = codec.compress(params, x)
+        assert len(blobs) == cfg.nsplit
+        rec = codec.decompress(params, blobs, info)
+        assert np.array_equal(np.asarray(rec), np.asarray(x))
+        bpd = codec.real_bpd(blobs, info)
+        assert 0 < bpd < 16
+
+    def test_compress_matches_model_forward(self, model_and_params, rng):
+        """The codec's internal forward must produce the same latents as the
+        model's fused forward (same params, same math)."""
+        cfg, model, params = model_and_params
+        codec = FlowCodec(model, num_streams=64)
+        x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
+        latents, means, logscales = model.apply(params, x)
+        blobs, info = codec.compress(params, x)
+        from finalproject_losslessimagecompression_tpu.codec import (
+            decode_tensor,
+        )
+
+        for blob, z, m, ls in zip(blobs, latents, means, logscales):
+            dec = decode_tensor(blob, m, ls)
+            assert np.array_equal(np.asarray(dec), np.asarray(z))
+
+
+class TestConditionalFlow:
+    def test_conditional_compress_decompress(self, rng):
+        cfg = small_cfg(conditional=True, nsplit=2)
+        model = IDFlow(cfg)
+        x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
+        cond = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
+        params = model.init(jax.random.PRNGKey(0), x, cond)
+        params = randomize_projections(params, jax.random.PRNGKey(3))
+        codec = FlowCodec(model, num_streams=32)
+        blobs, info = codec.compress(params, x, cond)
+        rec = codec.decompress(params, blobs, info, cond)
+        assert np.array_equal(np.asarray(rec), np.asarray(x))
+
+    def test_conv_for_cond(self, rng):
+        cfg = small_cfg(conditional=True, conv_for_cond=True, nsplit=2)
+        model = IDFlow(cfg)
+        x = grid_batch(rng, (1, cfg.H, cfg.W, cfg.C))
+        cond = grid_batch(rng, (1, cfg.H, cfg.W, cfg.C))
+        params = model.init(jax.random.PRNGKey(0), x, cond)
+        latents, means, logscales = model.apply(params, x, cond)
+        assert len(latents) == cfg.nsplit
+
+
+class TestBatchSqueeze:
+    def test_fold_roundtrip(self, rng):
+        cfg = small_cfg(batch_squeeze=4, nsplit=1)
+        model = IDFlow(cfg)
+        x = grid_batch(rng, (4, cfg.H, cfg.W, cfg.C))
+        params = model.init(jax.random.PRNGKey(0), x)
+        params = randomize_projections(params, jax.random.PRNGKey(5))
+        codec = FlowCodec(model, num_streams=32)
+        blobs, info = codec.compress(params, x)
+        rec = codec.decompress(params, blobs, info)
+        assert np.array_equal(np.asarray(rec), np.asarray(x))
