@@ -1,0 +1,175 @@
+"""Benchmark: end-to-end lossless compress+decompress throughput on the
+current accelerator, verified bit-exact, vs the reference-design baseline
+(single-threaded C++ rANS, the reference's CPU coder architecture --
+rans/rans.pyx compiled; here our native/rans.cpp single-stream port).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Headline metric (BASELINE.json): images/s/chip encode+decode on
+ImageNet64-sized inputs, bit-exact round-trip required.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_model(quick: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from finalproject_losslessimagecompression_tpu.models import (
+        CouplingCfg,
+        DenseBlockCfg,
+        FlowCfg,
+        FlowCodec,
+        IDFlow,
+    )
+
+    if quick:
+        cfg = FlowCfg(
+            H=64, W=64, C=3, nflows=2, nsplit=2,
+            couple=CouplingCfg(0.75, DenseBlockCfg(32, 2, "LeakyReLU")),
+            prior_nn=DenseBlockCfg(32, 2, "LeakyReLU"),
+        )
+    else:
+        # ImageNet64-class model (reference: configs/imagenet64.yaml scale)
+        cfg = FlowCfg(
+            H=64, W=64, C=3, nflows=8, nsplit=3,
+            couple=CouplingCfg(0.75, DenseBlockCfg(128, 4, "LeakyReLU")),
+            prior_nn=DenseBlockCfg(128, 4, "LeakyReLU"),
+        )
+    model = IDFlow(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        np.round(rng.uniform(0, 1, (1, 64, 64, 3)) * 256).astype(np.float32)
+        / 256.0
+    )
+    import jax
+
+    params = model.init(jax.random.PRNGKey(0), x)
+    return cfg, model, params
+
+
+def bench_e2e(cfg, model, params, batch: int, iters: int):
+    import jax
+    import jax.numpy as jnp
+
+    from finalproject_losslessimagecompression_tpu.models import FlowCodec
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        np.round(rng.uniform(0, 1, (batch, 64, 64, 3)) * 256).astype(
+            np.float32
+        )
+        / 256.0
+    )
+    codec = FlowCodec(model, num_streams=4096)
+    # warmup (compiles)
+    blobs, info = codec.compress(params, x)
+    rec = codec.decompress(params, blobs, info)
+    exact = bool(np.array_equal(np.asarray(rec), np.asarray(x)))
+    bpd = codec.real_bpd(blobs, info)
+
+    t0 = time.time()
+    for _ in range(iters):
+        blobs, info = codec.compress(params, x)
+        rec = codec.decompress(params, blobs, info)
+    jax.block_until_ready(rec)
+    dt = (time.time() - t0) / iters
+    return batch / dt, exact, bpd
+
+
+def bench_codec_only(n_symbols: int, iters: int):
+    """Raw interleaved-rANS symbol throughput (encode+decode), device."""
+    import jax
+
+    from finalproject_losslessimagecompression_tpu.codec import (
+        interleaved_decode,
+        interleaved_encode,
+    )
+
+    rng = np.random.default_rng(2)
+    means = rng.uniform(-2, 2, n_symbols).astype(np.float32)
+    scales = np.exp(rng.uniform(-4, 0, n_symbols)).astype(np.float32)
+    raw = means + scales * rng.logistic(0, 1, n_symbols).astype(np.float32)
+    v = np.round(raw * 256).astype(np.int32)
+    from finalproject_losslessimagecompression_tpu.codec import (
+        NBINS,
+        lower_bin,
+    )
+
+    low = lower_bin(means)
+    v = np.clip(v, low, low + NBINS - 1)
+
+    enc = interleaved_encode(v, means, scales, num_streams=4096)
+    dec, hi, lo = interleaved_decode(enc, means, scales)
+    assert np.array_equal(np.asarray(dec), v)
+
+    t0 = time.time()
+    for _ in range(iters):
+        enc = interleaved_encode(v, means, scales, num_streams=4096)
+        dec, hi, lo = interleaved_decode(enc, means, scales)
+    jax.block_until_ready(dec)
+    dt = (time.time() - t0) / iters
+    return n_symbols / dt, (v, means, scales)
+
+
+def bench_native_baseline(v, means, scales):
+    """Reference-design baseline: single-threaded C++ serial rANS."""
+    from finalproject_losslessimagecompression_tpu import native
+
+    if not native.available():
+        return None
+    t0 = time.time()
+    state, words = native.encode_single(v, means, scales)
+    st2, dec = native.decode_single(
+        state, words, len(v), means[::-1], scales[::-1]
+    )
+    dt = time.time() - t0
+    assert st2 == (1 << 32) and np.array_equal(dec[::-1], v)
+    return len(v) / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    platform = jax.devices()[0].platform
+
+    cfg, model, params = build_model(args.quick)
+    imgs_per_s, exact, bpd = bench_e2e(
+        cfg, model, params, args.batch, args.iters
+    )
+    n_sym = 8 * 64 * 64 * 3
+    sym_per_s, (v, m, s) = bench_codec_only(n_sym, args.iters)
+    base = bench_native_baseline(v, m, s)
+    vs_baseline = (sym_per_s / base) if base else None
+
+    out = {
+        "metric": "e2e_encode_decode_throughput",
+        "value": round(imgs_per_s, 3),
+        "unit": "images/s/chip (64x64x3, bit-exact)",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "bit_exact": exact,
+        "real_bpd": round(bpd, 4),
+        "codec_sym_per_s": round(sym_per_s, 1),
+        "native_baseline_sym_per_s": round(base, 1) if base else None,
+        "platform": platform,
+        "quick": args.quick,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

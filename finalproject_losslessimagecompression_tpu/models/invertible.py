@@ -72,12 +72,21 @@ class Prior(nn.Module):
     """NN head mapping prepared conditioning -> (mean, logscale) for the
     factored-out channels (reference: priorlib.py:18-47).  The caller
     prepares the input (keep half, zeros at the last level, optional
-    concatenated conditioning) to mirror flows.py:104-115,315-326."""
+    concatenated conditioning) to mirror flows.py:104-115,315-326.
+
+    `logscale_min` floors the predicted logscale: without it the scale
+    collapses toward 0 once latents are well-predicted and the discretized
+    log-likelihood's gradients explode to NaN (the reference has no guard
+    and can diverge the same way).  -6.24 keeps scale well above the 1/256
+    grid so the floor is loss-neutral in practice."""
 
     out_ch: int
     cfg: DenseBlockCfg
+    logscale_min: float = -6.24
 
     @nn.compact
     def __call__(self, h):
         p = DenseBlock(2 * self.out_ch, self.cfg, name="net")(h)
-        return p[..., : self.out_ch], p[..., self.out_ch :]
+        mean = p[..., : self.out_ch]
+        logscale = jnp.maximum(p[..., self.out_ch :], self.logscale_min)
+        return mean, logscale

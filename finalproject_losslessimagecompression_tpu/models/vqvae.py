@@ -1,0 +1,221 @@
+"""VQ-VAE (flax.linen, NHWC) -- encoder / vector quantizer / decoder.
+
+TPU-native re-design of the reference VQ-VAE (reference: vqvae.py:23-168,
+roundlib.py:42-89):
+- VQEncoder: strided 4x4 conv downsampling (x2 per hidden dim), 3x3 conv,
+  ResBlocks, 1x1 to embed_dim, tanh (vqvae.py:31-59).
+- VectorQuantizer: nearest-codeword search via the x^2 + e^2 - 2xe
+  expansion -- the 2xe term is a single [N,D]x[D,K] matmul that maps
+  straight onto the MXU; commitment/codebook MSE losses with beta/gamma;
+  straight-through estimator.
+- VQDecoder: mirror with ConvTranspose upsampling (vqvae.py:73-108).
+
+Dead-code reinitialization (reference: roundlib.py:72-84, in-place torch
+mutation inside forward) is re-designed as a pure function
+`vq_reinit(params, counts, batch)` the trainer applies between steps:
+rows whose usage frequency is below threshold are overwritten with batch
+vectors, deterministically, and the counts reset.  Being a pure params ->
+params map it is trivially shardable (psum the counts across the mesh and
+every host computes the identical reinit).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..registry import DISTRIBUTIONS, ENDECODERS
+from .layers import ResBlock
+
+
+class VectorQuantizer(nn.Module):
+    num: int = 4096
+    dim: int = 512
+
+    @nn.compact
+    def __call__(self, x, beta: float = 0.25, gamma: float = 1.0):
+        """x: [N, D] -> (vq_x [N, D], loss scalar, idx [N], counts [num])."""
+        codebook = self.param(
+            "codebook",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32, -1.0, 1.0
+            ),
+            (self.num, self.dim),
+        )
+        x2 = jnp.sum(x * x, axis=1, keepdims=True)  # [N, 1]
+        e2 = jnp.sum(codebook * codebook, axis=1)  # [K]
+        xe = jnp.dot(x, codebook.T, preferred_element_type=jnp.float32)
+        d = x2 + e2 - 2.0 * xe  # [N, K]
+        idx = jnp.argmin(d, axis=1)
+        vq_x = jnp.take(codebook, idx, axis=0)
+
+        loss_x = jnp.mean((x - jax.lax.stop_gradient(vq_x)) ** 2)
+        loss_e = jnp.mean((jax.lax.stop_gradient(x) - vq_x) ** 2)
+        loss = beta * loss_x + gamma * loss_e
+
+        vq_x = x + jax.lax.stop_gradient(vq_x - x)
+        counts = jnp.zeros(self.num, jnp.float32).at[idx].add(
+            1.0 / idx.shape[0]
+        )
+        return vq_x, loss, idx, counts
+
+
+def vq_reinit(
+    codebook: jnp.ndarray,
+    counts: jnp.ndarray,
+    batch_vectors: jnp.ndarray,
+    reinit_interval: float,
+    threshold: float,
+):
+    """Pure dead-code reinit (reference semantics, roundlib.py:75-84):
+    when accumulated counts exceed reinit_interval, codewords with usage
+    frequency < reinit_interval/num * threshold are replaced by batch
+    vectors (cycled in order); counts reset to zero.
+
+    Returns (new_codebook, new_counts, did_reinit, num_replaced).
+    """
+    num = codebook.shape[0]
+    n = batch_vectors.shape[0]
+    total = jnp.sum(counts)
+    do = total > reinit_interval
+    freq_thres = reinit_interval / num * jnp.minimum(threshold, 1.0)
+    low = counts < freq_thres
+    ranks = jnp.cumsum(low.astype(jnp.int32)) - 1
+    repl = batch_vectors[ranks % n]
+    new_codebook = jnp.where((do & low)[:, None], repl, codebook)
+    new_counts = jnp.where(do, jnp.zeros_like(counts), counts)
+    return new_codebook, new_counts, do, jnp.sum(low.astype(jnp.int32))
+
+
+@ENDECODERS.register(name="VQEncoder")
+class VQEncoder(nn.Module):
+    out_channel: int
+    hidden_dims: Tuple[int, ...] = (128, 256)
+    block_num: int = 2
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for dim in self.hidden_dims:
+            x = nn.Conv(dim, (4, 4), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))(x)
+            x = nn.leaky_relu(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(use_running_average=not train)(x)
+        ch = self.hidden_dims[-1]
+        x = nn.Conv(ch, (3, 3), padding="SAME")(x)
+        x = nn.leaky_relu(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train)(x)
+        for _ in range(self.block_num):
+            x = ResBlock(ch, self.batch_norm)(x, train)
+        x = nn.Conv(self.out_channel, (1, 1))(x)
+        return jnp.tanh(x)
+
+
+@ENDECODERS.register(name="VQDecoder")
+class VQDecoder(nn.Module):
+    out_channel: int
+    hidden_dims: Tuple[int, ...] = (256, 128)  # reversed vs encoder
+    block_num: int = 2
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ch = self.hidden_dims[0]
+        x = nn.Conv(ch, (1, 1))(x)
+        x = nn.leaky_relu(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train)(x)
+        for _ in range(self.block_num):
+            x = ResBlock(ch, self.batch_norm)(x, train)
+        x = nn.Conv(ch, (3, 3), padding="SAME")(x)
+        x = nn.leaky_relu(x)
+        for dim in self.hidden_dims[1:]:
+            x = nn.ConvTranspose(dim, (4, 4), strides=(2, 2),
+                                 padding="SAME")(x)
+            x = nn.leaky_relu(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(use_running_average=not train)(x)
+            ch = dim
+        x = nn.ConvTranspose(self.out_channel, (4, 4), strides=(2, 2),
+                             padding="SAME")(x)
+        return jnp.tanh(x)
+
+
+@ENDECODERS.register(name="VQVAE")
+class VQVAE(nn.Module):
+    channel: int = 3
+    embed_num: int = 4096
+    embed_dim: int = 512
+    hidden_dims: Tuple[int, ...] = (128, 256)
+    block_num: int = 2
+    batch_norm: bool = False
+    distribution: str = "BinomialDistribution"
+
+    def setup(self):
+        self.encoder = VQEncoder(
+            self.embed_dim,
+            tuple(self.hidden_dims),
+            self.block_num,
+            self.batch_norm,
+        )
+        self.decoder = VQDecoder(
+            self.channel,
+            tuple(self.hidden_dims)[::-1],
+            self.block_num,
+            self.batch_norm,
+        )
+        self.vq = VectorQuantizer(self.embed_num, self.embed_dim)
+
+    def encode(self, x, beta=0.25, gamma=1.0, train: bool = False):
+        """-> (vq_x NHWC, loss, idx, counts, flat_inputs [N,D])."""
+        h = self.encoder(x, train)
+        b, hh, ww, d = h.shape
+        flat = h.reshape(-1, d)
+        vq_x, loss, idx, counts = self.vq(flat, beta, gamma)
+        return vq_x.reshape(b, hh, ww, d), loss, idx, counts, flat
+
+    def decode(self, z, train: bool = False):
+        return self.decoder(z, train)
+
+    def __call__(self, x, beta=0.25, gamma=1.0, train: bool = False):
+        vq_x, loss, idx, counts, flat = self.encode(x, beta, gamma, train)
+        out = self.decode(vq_x, train)
+        return out, loss, counts, flat
+
+    def reconstruct(self, x):
+        """Inference-only reconstruction (reference: require_loss=False
+        path, vqvae.py:150-154,166-168)."""
+        vq_x, _, _, _, _ = self.encode(x)
+        return self.decode(vq_x)
+
+
+def build_vqvae_from_ref(cfg: dict) -> VQVAE:
+    """Parse the reference YAML subtree (configs/vqvae_for_*.yaml)."""
+    cfg = dict(cfg)
+    cfg.pop("name", None)
+    cfg.pop("checkpoint", None)
+    enc = dict(cfg.pop("encoder", {}) or {})
+    dec = dict(cfg.pop("decoder", {}) or {})
+    vq = dict(cfg.pop("vectorquantizer", {}) or {})
+    dist = dict(cfg.pop("distribution", {}) or {"name": "BinomialDistribution"})
+    block_num = enc.pop("block_num", dec.pop("block_num", 2))
+    return VQVAE(
+        channel=cfg.pop("channel", 3),
+        embed_num=cfg.pop("embed_num", 4096),
+        embed_dim=cfg.pop("embed_dim", 512),
+        hidden_dims=tuple(cfg.pop("hidden_dims", (128, 256))),
+        block_num=block_num,
+        batch_norm=cfg.pop("batch_norm", False),
+        distribution=dist.get("name", "BinomialDistribution"),
+    )
+
+
+def vqvae_reinit_params(cfg: dict) -> Tuple[float, float]:
+    """(reinit_interval, threshold) from the reference YAML subtree."""
+    vq = dict(dict(cfg).get("vectorquantizer", {}) or {})
+    return vq.get("reinit_interval") or 0, vq.get("threshold") or 0.1

@@ -1,3 +1,5 @@
+from . import distributions  # registers recon distributions
+from .distributions import BinomialDistribution, UnitGaussianDistribution
 from .rounding import round_ste, round_to_grid
 from .dlogistic import dlogistic_log_prob, dlogistic_sample
 from .reshape import (

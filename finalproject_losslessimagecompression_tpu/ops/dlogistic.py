@@ -25,7 +25,17 @@ def dlogistic_log_prob(x, mean, logscale, nbits: int = 8, eps: float = 1e-8):
     x_neg = (x - half - mean) / scale
     log_f_pos = jax.nn.log_sigmoid(x_pos)
     log_f_neg = jax.nn.log_sigmoid(x_neg)
-    return log_f_pos + jnp.log(1.0 - jnp.exp(log_f_neg - log_f_pos) + eps)
+    # diff <= 0 mathematically; float32 saturation can round it slightly
+    # positive, which would make log() NaN -- clamp (the reference's eps
+    # guard alone, distlib.py:54, does not cover this).
+    diff = jnp.minimum(log_f_neg - log_f_pos, 0.0)
+    # NOT log(1 - exp(diff) + eps) as in the reference: XLA's algebraic
+    # simplifier reassociates that to (1 + eps) - exp(diff) and const-folds
+    # 1 + 1e-8 -> 1.0f, destroying the guard and yielding log(0) = -inf
+    # under jit.  -expm1(diff) is both simplifier-proof and exact in the
+    # tails (no 1 - exp cancellation), so tail log-probs are *more*
+    # accurate than the reference's log(eps) floor.
+    return log_f_pos + jnp.log(-jnp.expm1(diff) + eps)
 
 
 def dlogistic_sample(key, mean, logscale, nbits: int = 8, eps: float = 1e-7):

@@ -1,0 +1,267 @@
+"""Flow trainer: the reference `Trainer` (trainer.py:185-357) re-built for
+TPU -- one fused jitted train step (forward + NLL + grads + optax update),
+periodic eval with an optional REAL rANS coding round-trip (bit-exactness
+counted, real bpd vs analytic bpd), temperature-swept sample grids, and
+checkpointing with working resume (the reference's resume is dead code,
+trainer.py:216-217).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import DataLoader  # noqa: F401  (registers loaders)
+from ..models.config import FlowCfg, latent_shapes
+from ..models.exact import FlowCodec
+from ..models.idflow import IDFlow, log_likelihood
+from ..ops.dlogistic import dlogistic_sample
+from ..registry import DATALOADERS, TRAINERS, build
+from .checkpoint import load_checkpoint, save_checkpoint
+from .metrics import MetricsWriter
+from .optim import build_optimizer
+
+
+def make_train_step(model: IDFlow, optimizer, conditional: bool = False):
+    cfg = model.cfg
+
+    def loss_fn(params, batch, cond=None):
+        if conditional:
+            latents, means, logscales = model.apply(params, batch, cond)
+        else:
+            latents, means, logscales = model.apply(params, batch)
+        lp, per_split = log_likelihood(cfg, latents, means, logscales)
+        loss = -jnp.mean(lp)
+        aux = {
+            "per_split_bpd": jnp.stack(
+                [-jnp.mean(s) / math.log(2.0) for s in per_split]
+            ),
+            "max_z": jnp.stack(
+                [jnp.max(z) * (2 ** cfg.nbits) for z in latents]
+            ),
+            "min_z": jnp.stack(
+                [jnp.min(z) * (2 ** cfg.nbits) for z in latents]
+            ),
+        }
+        return loss, aux
+
+    @jax.jit
+    def train_step(params, opt_state, batch, cond=None):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, cond
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    eval_step = jax.jit(loss_fn)
+    return train_step, eval_step
+
+
+def make_forward(model: IDFlow, conditional: bool = False):
+    @jax.jit
+    def forward(params, batch, cond=None):
+        if conditional:
+            return model.apply(params, batch, cond)
+        return model.apply(params, batch)
+
+    return forward
+
+
+@TRAINERS.register(name="Trainer")
+class Trainer:
+    """Config shape mirrors the reference YAML (configs/config1.yaml)."""
+
+    def __init__(
+        self,
+        model: dict,
+        train_dataloader: dict,
+        test_dataloader: dict,
+        optimizer: dict,
+        scheduler: dict,
+        max_step: int,
+        step_per_epoch: int,
+        evaluate_interval: int,
+        save_interval: int,
+        save_path: str,
+        writer_path: str,
+        test_coding: bool = False,
+        seed: int = 0,
+        num_streams: int = 1024,
+        max_eval_batches: int = 0,
+    ):
+        model = dict(model)
+        self.load_path = model.pop("load_path", None)
+        self.cfg = FlowCfg.from_ref(model)
+        self.model = IDFlow(self.cfg)
+        self.trainloader = build(DATALOADERS, train_dataloader)
+        self.testloader = build(DATALOADERS, test_dataloader)
+        self.optimizer = build_optimizer(optimizer, scheduler, step_per_epoch)
+        self.max_step = max_step
+        self.step_per_epoch = step_per_epoch
+        self.evaluate_interval = evaluate_interval
+        self.save_interval = save_interval
+        self.save_path = save_path
+        self.writer = MetricsWriter(writer_path)
+        self.test_coding = test_coding
+        self.num_streams = num_streams
+        self.max_eval_batches = max_eval_batches
+        self.step = 0
+
+        init_x = jnp.zeros(
+            (1, self.cfg.H, self.cfg.W, self.cfg.C), jnp.float32
+        )
+        self.params = self.model.init(jax.random.PRNGKey(seed), init_x)
+        self.opt_state = self.optimizer.init(self.params)
+        if self.load_path:
+            self.restore(self.load_path)
+
+        self.train_step, self.eval_step = make_train_step(
+            self.model, self.optimizer
+        )
+        self.forward = make_forward(self.model)
+        self.codec = FlowCodec(self.model, num_streams=self.num_streams)
+        self.sample_key = jax.random.PRNGKey(seed + 1)
+
+    # -- checkpointing ----------------------------------------------------
+
+    def _state(self):
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "step": self.step,
+        }
+
+    def save(self, path: Optional[str] = None):
+        save_checkpoint(path or self.save_path, self._state())
+
+    def restore(self, path: str):
+        st = load_checkpoint(path, self._state())
+        self.params = st["params"]
+        self.opt_state = st["opt_state"]
+        self.step = int(st["step"])
+
+    # -- eval -------------------------------------------------------------
+
+    def evaluate(self):
+        bpds, real_bpds, errors = [], [], 0
+        forward_time = 0.0
+        coding_time = 0.0
+        n_batches = 0
+        for batch in iter(self.testloader):
+            batch = jnp.asarray(batch)
+            t0 = time.time()
+            loss, aux = self.eval_step(self.params, batch)
+            loss.block_until_ready()
+            forward_time += time.time() - t0
+            bpds.append(float(loss) / math.log(2.0))
+            if self.test_coding:
+                t0 = time.time()
+                try:
+                    blobs, info = self.codec.compress(self.params, batch)
+                    rec = self.codec.decompress(self.params, blobs, info)
+                    errors += int(
+                        np.sum(np.asarray(rec) != np.asarray(batch))
+                    )
+                    real_bpds.append(self.codec.real_bpd(blobs, info))
+                except ValueError as e:
+                    # out-of-window latents etc.: count the batch as failed
+                    # (the reference swallows these, trainer.py:328-329;
+                    # we surface them as metrics)
+                    errors += int(np.asarray(batch).size)
+                coding_time += time.time() - t0
+            n_batches += 1
+            if self.max_eval_batches and n_batches >= self.max_eval_batches:
+                break
+        out = {
+            "test_bpd": float(np.mean(bpds)) if bpds else float("nan"),
+            "forward_time": forward_time,
+        }
+        if self.test_coding:
+            out["real_bpd"] = (
+                float(np.mean(real_bpds)) if real_bpds else float("nan")
+            )
+            out["coding_errors"] = errors
+            out["coding_time"] = coding_time
+        return out
+
+    def sample_images(self, batch: int = 16, temperatures=(0.25, 0.5, 0.75)):
+        shapes = latent_shapes(self.cfg)
+        noises = []
+        for s in shapes:
+            self.sample_key, k = jax.random.split(self.sample_key)
+            noises.append(
+                dlogistic_sample(
+                    k,
+                    jnp.zeros((batch,) + s, jnp.float32),
+                    jnp.zeros((batch,) + s, jnp.float32),
+                    self.cfg.nbits,
+                )
+            )
+        out = {}
+        for t in temperatures:
+            img = self.model.apply(
+                self.params,
+                [n * t for n in noises],
+                method=IDFlow.sample_from_noise,
+            )
+            out[t] = np.asarray(img)
+        return out
+
+    # -- main loop --------------------------------------------------------
+
+    def train(self):
+        log = math.log(2.0)
+        while self.step < self.max_step:
+            self.step += 1
+            batch = jnp.asarray(next(self.trainloader))
+            self.params, self.opt_state, loss, aux = self.train_step(
+                self.params, self.opt_state, batch
+            )
+            bpd = float(loss) / log
+            self.writer.add_scalar("train loss", float(loss), self.step)
+            self.writer.add_scalar("train bpd", bpd, self.step)
+
+            if self._at_interval(self.evaluate_interval):
+                for i, (mx, mn, sb) in enumerate(
+                    zip(
+                        np.asarray(aux["max_z"]),
+                        np.asarray(aux["min_z"]),
+                        np.asarray(aux["per_split_bpd"]),
+                    )
+                ):
+                    print(
+                        f"split_id: {i} , max_z : {mx} , min_z : {mn} , "
+                        f"bpd_for_split : {sb}"
+                    )
+                ev = self.evaluate()
+                self.writer.add_scalar("test bpd", ev["test_bpd"], self.step)
+                if self.test_coding:
+                    if np.isfinite(ev.get("real_bpd", float("nan"))):
+                        self.writer.add_scalar(
+                            "real bpd", ev["real_bpd"], self.step
+                        )
+                    self.writer.add_scalar(
+                        "coding errors", ev["coding_errors"], self.step
+                    )
+                for t, img in self.sample_images().items():
+                    self.writer.add_image_grid(f"t={t}", img, self.step)
+
+            if self._at_interval(self.save_interval):
+                self.save()
+        self.save()
+
+    def _at_interval(self, interval: int) -> bool:
+        # reference cadence (trainer.py:242,351): every epoch before the
+        # first interval, then at the interval
+        return (
+            self.step % self.step_per_epoch == 0 and self.step < interval
+        ) or self.step % interval == 0

@@ -1,0 +1,260 @@
+"""Residual / two-level / finetuner pipeline smokes, with the full
+VQ-VAE -> residual flow -> rANS round-trip exercised end to end."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def synth_loader_cfg(size, length=8, batch=2, seed=3, train=False):
+    return dict(
+        name="CustomDataLoader",
+        dataset=dict(name="SyntheticImages", size=list(size), length=length,
+                     seed=seed),
+        batch_size=batch,
+        nbits=8,
+        train=train,
+        shuffle=train,
+    )
+
+
+def small_flow_dict(H, W, nsplit=1, nflows=2, name="IDFlows", scale=1,
+                    **extra):
+    return dict(
+        name=name,
+        nflows=nflows,
+        nbits=8,
+        nsplit=nsplit,
+        H=H,
+        W=W,
+        C=3,
+        couple=dict(
+            name="AdditiveCouple",
+            split=0.75,
+            nn=dict(name="DenseBlock", growth_channel=8, depth=2,
+                    layer=dict(name="DenseLayer", act="LeakyReLU")),
+            round=dict(name="Round", nbits=8),
+        ),
+        extenddim=dict(name="ExtendDim", scale=scale),
+        prior=dict(name="Prior", round=dict(name="Round", nbits=8),
+                   nn=dict(name="DenseBlock", growth_channel=8, depth=2,
+                           layer=dict(name="DenseLayer", act="LeakyReLU"))),
+        distribution=dict(name="DLogistic"),
+        round=dict(name="Round", nbits=8),
+        **extra,
+    )
+
+
+def small_vqvae_dict(**extra):
+    return dict(
+        name="VQVAE",
+        channel=3,
+        embed_num=16,
+        embed_dim=8,
+        hidden_dims=[8, 16],
+        encoder=dict(name="VQEncoder", block_num=1,
+                     block=dict(name="ResBlock", batch_norm=False)),
+        decoder=dict(name="VQDecoder", block_num=1,
+                     block=dict(name="ResBlock", batch_norm=False)),
+        distribution=dict(name="BinomialDistribution"),
+        vectorquantizer=dict(reinit_interval=1000, threshold=0.1),
+        **extra,
+    )
+
+
+@pytest.fixture(scope="module")
+def vqvae_ckpt(tmp_path_factory):
+    """Pretrain (2 steps) and save a tiny VQ-VAE for the residual pipeline."""
+    from finalproject_losslessimagecompression_tpu.train import VQVAETrainer
+
+    tmp = tmp_path_factory.mktemp("vq")
+    data = synth_loader_cfg((16, 16, 3))
+    t = VQVAETrainer(
+        model=small_vqvae_dict(),
+        train_dataloader={**data, "train": True},
+        test_dataloader=data,
+        optimizer=dict(name="Adam", lr=1e-3),
+        scheduler=dict(name="Constant"),
+        max_step=2,
+        step_per_epoch=10,
+        evaluate_interval=1000,
+        save_interval=1000,
+        save_path=str(tmp / "vq.ckpt"),
+        writer_path=str(tmp / "logs"),
+        train_args=dict(alpha=1.0),
+    )
+    t.train()
+    return str(tmp / "vq.ckpt")
+
+
+class TestResidualTrainer:
+    def _make(self, tmp_path, vqvae_ckpt, conditional, **kw):
+        from finalproject_losslessimagecompression_tpu.train import (
+            ResidualTrainer,
+        )
+
+        flow_name = "ConditionalFlows" if conditional else "IDFlows"
+        return ResidualTrainer(
+            flows=small_flow_dict(8, 8, name=flow_name),
+            vqvae={**small_vqvae_dict(), "checkpoint": vqvae_ckpt},
+            input_size=[16, 16],
+            train_dataloader=synth_loader_cfg((16, 16, 3), train=True),
+            test_dataloader=synth_loader_cfg((16, 16, 3)),
+            patch_batch_size=kw.pop("patch_batch_size", 0),
+            optimizer=dict(name="Adamax", lr=1e-3),
+            scheduler=dict(name="Constant"),
+            max_step=kw.pop("max_step", 2),
+            step_per_epoch=10,
+            evaluate_interval=1000,
+            save_interval=1000,
+            save_path=str(tmp_path / "res.ckpt"),
+            writer_path=str(tmp_path / "logs"),
+            **kw,
+        )
+
+    def test_unconditional_with_coding(self, tmp_path, vqvae_ckpt):
+        t = self._make(tmp_path, vqvae_ckpt, conditional=False,
+                       test_coding=True, max_eval_batches=1)
+        t.train()
+        ev = t.evaluate()
+        assert ev["coding_errors"] == 0
+        assert np.isfinite(ev["test_bpd"])
+        # residual + vqvae reconstruction must reproduce the input exactly
+        assert ev["rec_error"] < 1e-4
+
+    def test_conditional(self, tmp_path, vqvae_ckpt):
+        t = self._make(tmp_path, vqvae_ckpt, conditional=True,
+                       max_eval_batches=1, test_coding=True)
+        t.train()
+        ev = t.evaluate()
+        assert ev["coding_errors"] == 0
+        assert ev["rec_error"] < 1e-4
+
+    def test_nouse_vqvae(self, tmp_path, vqvae_ckpt):
+        from finalproject_losslessimagecompression_tpu.train import (
+            ResidualTrainer,
+        )
+
+        t = ResidualTrainer(
+            flows=small_flow_dict(8, 8),
+            vqvae={},
+            input_size=[16, 16],
+            train_dataloader=synth_loader_cfg((16, 16, 3), train=True),
+            test_dataloader=synth_loader_cfg((16, 16, 3)),
+            patch_batch_size=0,
+            optimizer=dict(name="Adamax", lr=1e-3),
+            scheduler=dict(name="Constant"),
+            max_step=2,
+            step_per_epoch=10,
+            evaluate_interval=1000,
+            save_interval=1000,
+            save_path=str(tmp_path / "res.ckpt"),
+            writer_path=str(tmp_path / "logs"),
+            nouse_vqvae=True,
+            max_eval_batches=1,
+        )
+        t.train()
+        ev = t.evaluate()
+        assert ev["rec_error"] < 1e-4
+
+    def test_patch_subsampling(self, tmp_path, vqvae_ckpt):
+        t = self._make(tmp_path, vqvae_ckpt, conditional=False,
+                       patch_batch_size=2, max_eval_batches=1)
+        t.train()
+
+    def test_conditional_requires_vqvae(self, tmp_path, vqvae_ckpt):
+        from finalproject_losslessimagecompression_tpu.train import (
+            ResidualTrainer,
+        )
+
+        with pytest.raises(ValueError):
+            ResidualTrainer(
+                flows=small_flow_dict(8, 8, name="ConditionalFlows"),
+                vqvae={},
+                input_size=[16, 16],
+                train_dataloader=synth_loader_cfg((16, 16, 3), train=True),
+                test_dataloader=synth_loader_cfg((16, 16, 3)),
+                patch_batch_size=0,
+                optimizer=dict(name="Adamax", lr=1e-3),
+                scheduler=dict(name="Constant"),
+                max_step=1,
+                step_per_epoch=10,
+                evaluate_interval=1000,
+                save_interval=1000,
+                save_path=str(tmp_path / "x.ckpt"),
+                writer_path=str(tmp_path / "logs"),
+                nouse_vqvae=True,
+            )
+
+
+class TestTwoLevel:
+    def test_adaptive_pool_matrix(self):
+        from finalproject_losslessimagecompression_tpu.models.twolevel import (
+            adaptive_pool_matrix,
+        )
+
+        m = adaptive_pool_matrix(8, 4)
+        assert m.shape == (4, 8)
+        assert np.allclose(m.sum(axis=1), 1.0)
+        up = adaptive_pool_matrix(4, 8)  # upsample: each row one source
+        assert np.allclose(up.sum(axis=1), 1.0)
+
+    def test_trainer_smoke(self, tmp_path):
+        from finalproject_losslessimagecompression_tpu.train import (
+            TwoLevelTrainer,
+        )
+
+        t = TwoLevelTrainer(
+            model=dict(
+                name="TwoLevelFlows",
+                H=16,
+                W=16,
+                C=3,
+                pad=[0, 0],
+                rough_flows=small_flow_dict(8, 8, scale=2),
+                fine_flows=small_flow_dict(8, 8, scale=2),
+                batchsize=256,
+            ),
+            train_dataloader=synth_loader_cfg((16, 16, 3), train=True),
+            test_dataloader=synth_loader_cfg((16, 16, 3)),
+            optimizer=dict(name="Adamax", lr=1e-3),
+            scheduler=dict(name="Constant"),
+            max_step=2,
+            step_per_epoch=10,
+            evaluate_interval=1000,
+            save_interval=1000,
+            save_path=str(tmp_path / "tl.ckpt"),
+            writer_path=str(tmp_path / "logs"),
+            max_eval_batches=1,
+        )
+        t.train()
+        bpd, bpd1, bpd2 = t.evaluate()
+        assert np.isfinite(bpd)
+        imgs = t.sample_images(batch=2, temperatures=(0.5,))
+        assert imgs[0.5].shape == (2, 16, 16, 3)
+
+
+class TestFinetuner:
+    def test_measure_and_tune(self, tmp_path):
+        from finalproject_losslessimagecompression_tpu.train import Finetuner
+
+        common = dict(
+            train_dataloader=synth_loader_cfg((8, 8, 3), train=True),
+            test_dataloader=synth_loader_cfg((8, 8, 3)),
+            optimizer=dict(name="Adam", lr=1e-3),
+            scheduler=dict(name="Constant"),
+            max_step=3,
+            step_per_epoch=10,
+            evaluate_interval=3,
+            save_interval=1000,
+            save_path=str(tmp_path / "ft.ckpt"),
+            writer_path=str(tmp_path / "logs"),
+        )
+        f = Finetuner(model=small_flow_dict(8, 8), fine_tune=False, **common)
+        f.train()
+        f2 = Finetuner(model=small_flow_dict(8, 8), fine_tune=True, **common)
+        f2.train()
+        assert float(jnp.max(jnp.abs(f2.tuner))) > 0.0

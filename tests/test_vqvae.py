@@ -1,0 +1,129 @@
+"""VQ-VAE: quantizer semantics, dead-code reinit, encoder/decoder shapes,
+trainer smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from finalproject_losslessimagecompression_tpu.models.vqvae import (
+    VQVAE,
+    VectorQuantizer,
+    vq_reinit,
+)
+
+
+class TestVectorQuantizer:
+    def test_nearest_codeword(self, rng):
+        vq = VectorQuantizer(num=16, dim=4)
+        x = jnp.asarray(rng.normal(0, 1, (32, 4)).astype(np.float32))
+        params = vq.init(jax.random.PRNGKey(0), x)
+        vq_x, loss, idx, counts = vq.apply(params, x)
+        cb = params["params"]["codebook"]
+        d = np.linalg.norm(
+            np.asarray(x)[:, None, :] - np.asarray(cb)[None], axis=-1
+        )
+        assert np.array_equal(np.asarray(idx), np.argmin(d, axis=1))
+        assert np.allclose(
+            np.asarray(vq_x), np.asarray(cb)[np.asarray(idx)], atol=1e-6
+        )
+        assert abs(float(counts.sum()) - 1.0) < 1e-5
+
+    def test_straight_through_grad(self, rng):
+        vq = VectorQuantizer(num=8, dim=4)
+        x = jnp.asarray(rng.normal(0, 1, (16, 4)).astype(np.float32))
+        params = vq.init(jax.random.PRNGKey(0), x)
+
+        def f(x):
+            vq_x, loss, _, _ = vq.apply(params, x)
+            return jnp.sum(vq_x)
+
+        g = jax.grad(f)(x)
+        assert np.allclose(np.asarray(g), 1.0, atol=1e-4)
+
+    def test_reinit_replaces_dead_codes(self, rng):
+        cb = jnp.asarray(rng.normal(0, 1, (8, 4)).astype(np.float32))
+        counts = jnp.asarray(
+            [5.0, 0.0, 5.0, 0.0, 5.0, 5.0, 5.0, 5.0], jnp.float32
+        )
+        batch = jnp.asarray(rng.normal(0, 1, (3, 4)).astype(np.float32))
+        new_cb, new_counts, did, nrep = vq_reinit(
+            cb, counts, batch, reinit_interval=20.0, threshold=1.0
+        )
+        assert bool(did)
+        assert int(nrep) == 2
+        # dead rows 1 and 3 replaced by batch vectors 0 and 1
+        assert np.array_equal(np.asarray(new_cb[1]), np.asarray(batch[0]))
+        assert np.array_equal(np.asarray(new_cb[3]), np.asarray(batch[1]))
+        assert np.array_equal(np.asarray(new_cb[0]), np.asarray(cb[0]))
+        assert float(new_counts.sum()) == 0.0
+
+    def test_reinit_noop_below_interval(self, rng):
+        cb = jnp.asarray(rng.normal(0, 1, (8, 4)).astype(np.float32))
+        counts = jnp.ones(8, jnp.float32)
+        batch = jnp.asarray(rng.normal(0, 1, (3, 4)).astype(np.float32))
+        new_cb, new_counts, did, _ = vq_reinit(cb, counts, batch, 100.0, 0.1)
+        assert not bool(did)
+        assert np.array_equal(np.asarray(new_cb), np.asarray(cb))
+
+
+class TestVQVAE:
+    def test_roundtrip_shapes(self, rng):
+        model = VQVAE(
+            channel=3, embed_num=32, embed_dim=8, hidden_dims=(8, 16),
+            block_num=1,
+        )
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)
+        out, loss, counts, flat = model.apply(params, x)
+        assert out.shape == x.shape
+        assert flat.shape == (2 * 4 * 4, 8)
+        rec = model.apply(params, x, method=VQVAE.reconstruct)
+        assert rec.shape == x.shape
+        assert np.all(np.abs(np.asarray(rec)) <= 1.0)
+
+
+class TestVQVAETrainer:
+    def test_smoke(self, tmp_path):
+        from finalproject_losslessimagecompression_tpu.train import (
+            VQVAETrainer,
+        )
+
+        data = dict(
+            name="CustomDataLoader",
+            dataset=dict(
+                name="SyntheticImages", size=[16, 16, 3], length=8, seed=2
+            ),
+            batch_size=4,
+            nbits=8,
+        )
+        t = VQVAETrainer(
+            model=dict(
+                name="VQVAE",
+                channel=3,
+                embed_num=16,
+                embed_dim=8,
+                hidden_dims=[8, 16],
+                encoder=dict(name="VQEncoder", block_num=1,
+                             block=dict(name="ResBlock", batch_norm=False)),
+                decoder=dict(name="VQDecoder", block_num=1,
+                             block=dict(name="ResBlock", batch_norm=False)),
+                distribution=dict(name="BinomialDistribution"),
+                vectorquantizer=dict(reinit_interval=3, threshold=0.5),
+            ),
+            train_dataloader={**data, "train": True},
+            test_dataloader={**data, "train": False, "shuffle": False},
+            optimizer=dict(name="Adam", lr=1e-3),
+            scheduler=dict(name="WarmUpScheduler", warmup=2, beta=0.99),
+            max_step=6,
+            step_per_epoch=2,
+            evaluate_interval=6,
+            save_interval=1000,
+            save_path=str(tmp_path / "vq.ckpt"),
+            writer_path=str(tmp_path / "logs"),
+            train_args=dict(alpha=1.0, beta=0.25, gamma=1.0),
+        )
+        t.train()
+        import os
+
+        assert os.path.exists(str(tmp_path / "vq.ckpt"))
