@@ -1,0 +1,230 @@
+"""Generate the config corpus: reference-parameter-matched experiment
+configs (reference: /root/reference/configs/*.yaml) plus hermetic synthetic
+smoke configs.  Re-run after editing: python configs/generate.py"""
+
+import os
+
+import yaml
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# dataset root placeholders -- point these at your data
+CELEBA_TRAIN = "${DATA_ROOT}/celeba/train"
+CELEBA_TEST = "${DATA_ROOT}/celeba/test"
+IMAGENET64 = "${DATA_ROOT}/imagenet64"
+
+
+def dense(growth, depth, act):
+    return dict(name="DenseBlock", growth_channel=growth, depth=depth,
+                layer=dict(name="DenseLayer", act=act))
+
+
+def rnd():
+    return dict(name="Round", nbits=8)
+
+
+def flow(name="IDFlows", H=64, W=64, nflows=8, nsplit=3, couple_g=512,
+         couple_d=12, prior_g=512, prior_d=12, act="ReLU", scale=2,
+         C=3, **extra):
+    return dict(
+        name=name, nflows=nflows, nbits=8, nsplit=nsplit, H=H, W=W, C=C,
+        couple=dict(name="AdditiveCouple", split=0.75,
+                    nn=dense(couple_g, couple_d, act), round=rnd()),
+        extenddim=dict(name="ExtendDim", scale=scale),
+        prior=dict(name="Prior", round=rnd(), nn=dense(prior_g, prior_d, act)),
+        distribution=dict(name="DLogistic"), round=rnd(), **extra)
+
+
+def celeba_loader(batch, train, pad=(1, 6), resize=(215, 178)):
+    d = dict(name="CommonDataLoader",
+             path=CELEBA_TRAIN if train else CELEBA_TEST,
+             batch_size=batch, resize=list(resize),
+             centercrop=[215, 178], nbits=8, train=train)
+    if pad:
+        d["pad"] = list(pad)
+    return d
+
+
+def in64_loader(batch, train):
+    return dict(name="CustomDataLoader",
+                dataset=dict(name="ImageNet64Dataset", path=IMAGENET64,
+                             size=[3, 64, 64], train=train),
+                batch_size=batch, nbits=8, train=train)
+
+
+def synth_loader(batch, train, size=(32, 32, 3), length=64):
+    return dict(name="CustomDataLoader",
+                dataset=dict(name="SyntheticImages", size=list(size),
+                             length=length, seed=0),
+                batch_size=batch, nbits=8, train=train,
+                shuffle=bool(train))
+
+
+def sched():
+    return dict(name="WarmUpScheduler", warmup=10, beta=0.99)
+
+
+def opt():
+    return dict(name="Adamax", lr=0.001)
+
+
+def tail(tag, max_step=1000000, spe=1000, ev=5000, sv=20000):
+    return dict(optimizer=opt(), scheduler=sched(), max_step=max_step,
+                step_per_epoch=spe, evaluate_interval=ev, save_interval=sv,
+                save_path=f"./logs/{tag}.ckpt",
+                writer_path=f"./logs/log_{tag}")
+
+
+def vqvae(checkpoint=None):
+    d = dict(name="VQVAE", channel=3, embed_num=8192, embed_dim=512,
+             encoder=dict(name="VQEncoder", block_num=8,
+                          block=dict(name="ResBlock", batch_norm=False)),
+             decoder=dict(name="VQDecoder", block_num=8,
+                          block=dict(name="ResBlock", batch_norm=False)),
+             distribution=dict(name="BinomialDistribution"),
+             vectorquantizer=dict(reinit_interval=1000, threshold=0.1),
+             hidden_dims=[128, 256, 512], batch_norm=False)
+    if checkpoint:
+        d["checkpoint"] = checkpoint
+    return d
+
+
+CONFIGS = {}
+
+# -- flows on CelebA 216x184 with in-loop coding test (ref: config1.yaml)
+CONFIGS["config1"] = dict(train=dict(
+    model=flow(H=216, W=184, couple_g=384, couple_d=8, prior_g=512,
+               prior_d=12, act="LeakyReLU"),
+    test_coding=True,
+    train_dataloader=celeba_loader(4, True),
+    test_dataloader=celeba_loader(4, False),
+    **tail("celeba_216_184")))
+
+# -- flows on ImageNet64 (ref: imagenet64.yaml)
+CONFIGS["imagenet64"] = dict(train=dict(
+    model=flow(H=64, W=64),
+    test_coding=True,
+    train_dataloader=in64_loader(16, True),
+    test_dataloader=in64_loader(16, False),
+    **tail("imagenet64", ev=10000, sv=25000)))
+
+# -- two-level pyramid (ref: config_twolevel.yaml)
+CONFIGS["config_twolevel"] = dict(train=dict(
+    trainer="TwoLevelTrainer",
+    model=dict(name="TwoLevelFlows", H=215, W=178, C=3, pad=[1, 6],
+               fine_flows=flow(H=8, W=8, nflows=12, nsplit=1, couple_g=512,
+                               couple_d=8, prior_g=512, prior_d=8),
+               rough_flows=flow(H=27, W=23, nflows=12, nsplit=1,
+                                couple_g=512, couple_d=8, prior_g=512,
+                                prior_d=8, scale=1),
+               batchsize=256),
+    train_dataloader=celeba_loader(4, True, pad=None),
+    test_dataloader=celeba_loader(4, False, pad=None),
+    **tail("twolevel_celeba")))
+
+# -- VQ-VAE pretraining (ref: vqvae_for_celeba_full_reinit.yaml)
+CONFIGS["vqvae_for_celeba_full_reinit"] = dict(train=dict(
+    trainer="VQVAETrainer",
+    model=vqvae(),
+    train_dataloader=celeba_loader(32, True),
+    test_dataloader=celeba_loader(32, False),
+    train_args=dict(alpha=30.0, beta=0.25, gamma=1.0),
+    **tail("vqvae_celeba_reinit")))
+
+CONFIGS["vqvae_for_imagenet64_reinit"] = dict(train=dict(
+    trainer="VQVAETrainer",
+    model=vqvae(),
+    train_dataloader=in64_loader(32, True),
+    test_dataloader=in64_loader(32, False),
+    train_args=dict(alpha=30.0, beta=0.25, gamma=1.0),
+    **tail("vqvae_imagenet64_reinit")))
+
+# -- residual pipelines (ref: resflows.yaml, resflow-patches-vqvae.yaml,
+#    resflows_smallpatch_split.yaml, resflow-cond-imagenet64.yaml)
+CONFIGS["resflows"] = dict(train=dict(
+    trainer="ResidualTrainer",
+    flows=flow(H=54, W=46, nflows=16, nsplit=1, couple_g=256, couple_d=8,
+               prior_g=256, prior_d=8, act="LeakyReLU"),
+    vqvae=vqvae("./logs/vqvae_celeba_reinit.ckpt"),
+    input_size=[216, 184],
+    patch_batch_size=0,
+    train_dataloader=celeba_loader(1, True),
+    test_dataloader=celeba_loader(1, False),
+    **tail("resflows_54_46")))
+
+CONFIGS["resflow-patches-vqvae"] = dict(train=dict(
+    trainer="ResidualTrainer",
+    flows=flow(name="ConditionalFlows", H=27, W=23, nflows=8, nsplit=1,
+               couple_g=384, couple_d=12, prior_g=512, prior_d=12,
+               act="LeakyReLU", scale=1, conv_for_cond=False),
+    vqvae=vqvae("./logs/vqvae_celeba_reinit.ckpt"),
+    input_size=[216, 184],
+    patch_batch_size=0,
+    train_dataloader=celeba_loader(1, True),
+    test_dataloader=celeba_loader(1, False),
+    **tail("resflows_cond_27_23")))
+
+CONFIGS["resflows_smallpatch_split"] = dict(train=dict(
+    trainer="ResidualTrainer",
+    flows=flow(H=8, W=8, nflows=8, nsplit=2, couple_g=512, couple_d=8,
+               prior_g=512, prior_d=4),
+    vqvae=vqvae("./logs/vqvae_celeba_reinit.ckpt"),
+    input_size=[216, 184],
+    patch_batch_size=256,
+    train_dataloader=celeba_loader(1, True),
+    test_dataloader=celeba_loader(1, False),
+    **tail("resflows_8_8_split")))
+
+CONFIGS["resflow-cond-imagenet64"] = dict(train=dict(
+    trainer="ResidualTrainer",
+    flows=flow(name="ConditionalFlows", H=64, W=64, nflows=8, nsplit=3,
+               couple_g=384, couple_d=8, prior_g=512, prior_d=12,
+               act="LeakyReLU", conv_for_cond=True),
+    vqvae=vqvae("./logs/vqvae_imagenet64_reinit.ckpt"),
+    input_size=[64, 64],
+    patch_batch_size=0,
+    train_dataloader=in64_loader(4, True),
+    test_dataloader=in64_loader(4, False),
+    **tail("resflows_cond_imagenet64")))
+
+# -- per-image fine-tuning (ref: config-trans-test.yaml)
+CONFIGS["config-trans-test"] = dict(train=dict(
+    trainer="Finetuner",
+    fine_tune=True,
+    fine_tune_lr=0.001,
+    model=dict(load_path="./logs/imagenet64.ckpt",
+               **flow(H=64, W=48)),
+    train_dataloader=celeba_loader(16, True, pad=None, resize=(64, 48)),
+    test_dataloader=celeba_loader(16, False, pad=None, resize=(64, 48)),
+    **tail("trans_test")))
+
+# -- visualization (ref: vis_config1.yaml)
+CONFIGS["vis_config1"] = dict(train=dict(
+    model=dict(load_path="./logs/celeba_216_184.ckpt",
+               **flow(H=216, W=184, couple_g=384, couple_d=8, prior_g=512,
+                      prior_d=12, act="LeakyReLU")),
+    test_dataloader=celeba_loader(4, False),
+))
+
+# -- hermetic synthetic smokes (no reference counterpart; CPU-runnable)
+CONFIGS["smoke_synthetic"] = dict(train=dict(
+    model=flow(H=16, W=16, nflows=2, nsplit=2, couple_g=16, couple_d=2,
+               prior_g=16, prior_d=2, act="LeakyReLU"),
+    test_coding=True,
+    train_dataloader=synth_loader(4, True, size=(16, 16, 3)),
+    test_dataloader=synth_loader(4, False, size=(16, 16, 3)),
+    optimizer=opt(), scheduler=sched(), max_step=50, step_per_epoch=10,
+    evaluate_interval=50, save_interval=50,
+    save_path="./logs/smoke.ckpt", writer_path="./logs/log_smoke"))
+
+
+def main():
+    for name, cfg in CONFIGS.items():
+        path = os.path.join(HERE, f"{name}.yaml")
+        with open(path, "w") as f:
+            yaml.safe_dump(cfg, f, sort_keys=False)
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,10 @@ v = round(latent * 256).  Unlike the reference -- which flattens tensors to
 Python lists and feeds a serial C coder -- tensors stay on device; only the
 packed byte containers cross to the host.
 
+Dispatch discipline: under remote-tunnel runtimes every eager op is a host
+round trip, so each direction is a fixed small number of jit calls plus one
+scalar sync -- all array math lives inside jitted functions.
+
 The per-level split (instead of one fused container) is what a *real*
 decoder requires: level l's means/logscales depend on latents of levels
 decoded after it (reference never implemented this; flows.py:177-181 stubs).
@@ -14,23 +18,58 @@ decoded after it (reference never implemented this; flows.py:177-181 stubs).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from functools import partial
+from typing import List, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from .container import pack_streams, unpack_streams
 from .interleaved import interleaved_decode, interleaved_encode
 
 
-def encode_tensor(latent, mean, logscale, num_streams: int = 1024) -> bytes:
-    """Encode one latent tensor (values on the 1/256 grid) to bytes."""
+@jax.jit
+def _prep_symbols(latent, logscale):
     v = jnp.round(jnp.asarray(latent, jnp.float32) * 256.0).astype(jnp.int32)
-    scale = jnp.exp(jnp.asarray(logscale, jnp.float32))
-    enc = interleaved_encode(
-        v.reshape(-1), jnp.asarray(mean, jnp.float32).reshape(-1),
-        scale.reshape(-1), num_streams
+    return v.reshape(-1), jnp.exp(
+        jnp.asarray(logscale, jnp.float32)
+    ).reshape(-1)
+
+
+@jax.jit
+def _prep_scale(logscale):
+    return jnp.exp(jnp.asarray(logscale, jnp.float32)).reshape(-1)
+
+
+@jax.jit
+def _finish_decode(vals, hi, lo, shaped_like):
+    ok = jnp.logical_and(jnp.all(hi == jnp.uint32(1)),
+                         jnp.all(lo == jnp.uint32(0)))
+    x = (vals.astype(jnp.float32) / 256.0).reshape(shaped_like.shape)
+    return x, ok
+
+
+def encode_tensor_deferred(latent, mean, logscale, num_streams: int = 4096):
+    """Dispatch an encode without any host sync; pack later with
+    container.pack_streams_many to amortize the sync."""
+    v, scale = _prep_symbols(latent, logscale)
+    return interleaved_encode(v, mean, scale, num_streams)
+
+
+def encode_tensor(latent, mean, logscale, num_streams: int = 4096) -> bytes:
+    """Encode one latent tensor (values on the 1/256 grid) to bytes."""
+    return pack_streams(
+        encode_tensor_deferred(latent, mean, logscale, num_streams)
     )
-    return pack_streams(enc)
+
+
+def decode_tensor_deferred(blob: bytes, mean, logscale):
+    """Decode without a host sync: returns (x, ok) device values; the
+    caller aggregates `ok` flags and checks once."""
+    scale = _prep_scale(logscale)
+    enc = unpack_streams(blob)
+    vals, hi, lo = interleaved_decode(enc, mean, scale)
+    return _finish_decode(vals, hi, lo, mean)
 
 
 def decode_tensor(blob: bytes, mean, logscale):
@@ -38,18 +77,15 @@ def decode_tensor(blob: bytes, mean, logscale):
 
     Raises ValueError if any stream fails to return to the initial state
     (the reference's decode-invariant check, trainer.py:326)."""
-    mean = jnp.asarray(mean, jnp.float32)
-    scale = jnp.exp(jnp.asarray(logscale, jnp.float32))
-    enc = unpack_streams(blob)
-    vals, hi, lo = interleaved_decode(enc, mean.reshape(-1), scale.reshape(-1))
-    if not (bool((hi == 1).all()) and bool((lo == 0).all())):
+    x, ok = decode_tensor_deferred(blob, mean, logscale)
+    if not bool(jax.device_get(ok)):
         raise ValueError("rANS decode failed: state did not return to 2^32")
-    return (vals.astype(jnp.float32) / 256.0).reshape(mean.shape)
+    return x
 
 
 def encode_latents(
     latents: Sequence, means: Sequence, logscales: Sequence,
-    num_streams: int = 1024,
+    num_streams: int = 4096,
 ) -> List[bytes]:
     """Encode per-split latents (reference: coder.py:18-27)."""
     return [

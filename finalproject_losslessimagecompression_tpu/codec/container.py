@@ -33,35 +33,61 @@ _HEADER = struct.Struct("<4sQIQI")
 RANS_L = 1 << 32
 
 
-def _uniform16_push(state: int, words: list, chunk: int) -> int:
-    if state >= (1 << 48):
+def _uniform_push(state: int, words: list, chunk: int, bits: int) -> int:
+    """Push `bits` uniform bits (zero-redundancy rANS op: shift-or)."""
+    if state >= (1 << (64 - bits)):
         words.append(state & 0xFFFFFFFF)
         state >>= 32
-    return ((state << 16) | chunk) & ((1 << 64) - 1)
+    return ((state << bits) | chunk) & ((1 << 64) - 1)
 
 
-def _uniform16_pop(state: int, words: list) -> Tuple[int, int]:
+def _uniform_pop(state: int, words: list, bits: int) -> Tuple[int, int]:
     if state < RANS_L:
         state = (state << 32) | words.pop()
-    return state >> 16, state & 0xFFFF
+    return state >> bits, state & ((1 << bits) - 1)
+
+
+def pack_streams_many(encs) -> list:
+    """Serialize several encodes with ONE host transfer (a single device
+    sync amortizes the runtime's host<->device round-trip latency across
+    all levels of a multi-split compression)."""
+    fetched = jax.device_get(
+        [(e.state_hi, e.state_lo, e.words, e.num_words) for e in encs]
+    )
+    return [
+        _pack_fetched(e, hi, lo, words, int(nw))
+        for e, (hi, lo, words, nw) in zip(encs, fetched)
+    ]
 
 
 def pack_streams(enc: EncodedStreams) -> bytes:
     """Serialize device-side encoded streams to a self-contained byte string."""
-    S = enc.num_streams
-    hi = np.asarray(jax.device_get(enc.state_hi), np.uint64)
-    lo = np.asarray(jax.device_get(enc.state_lo), np.uint64)
-    states = [(int(hi[j]) << 32) | int(lo[j]) for j in range(S)]
-    words = list(
-        np.asarray(jax.device_get(enc.words)[: enc.num_words], np.uint32)
-    )
-    words = [int(w) for w in words]
+    return pack_streams_many([enc])[0]
 
+
+def _pack_fetched(enc, hi_a, lo_a, words_a, num_words: int) -> bytes:
+    S = enc.num_streams
+    hi = np.asarray(hi_a, np.uint64)
+    lo = np.asarray(lo_a, np.uint64)
+    states = [(int(hi[j]) << 32) | int(lo[j]) for j in range(S)]
+    words = [int(w) for w in np.asarray(words_a[:num_words], np.uint32)]
+
+    # Variable-length state chaining: each final state is in [2^32, 2^64),
+    # so its bit length nb is in [33, 64].  Pushing nb bits + a 5-bit
+    # (nb - 33) header costs ~log2(state) + 5 bits per stream instead of a
+    # fixed 64 -- the flush waste drops from ~32 to ~5 bits/stream, which
+    # is what makes wide stream counts (high VPU occupancy) affordable.
     state0 = states[0]
     for j in range(1, S):
         sj = states[j]
-        for shift in (0, 16, 32, 48):  # LSB chunk first
-            state0 = _uniform16_push(state0, words, (sj >> shift) & 0xFFFF)
+        nb = sj.bit_length()  # in [33, 64]
+        low = nb - 16 * 3
+        state0 = _uniform_push(state0, words, sj & 0xFFFF, 16)
+        state0 = _uniform_push(state0, words, (sj >> 16) & 0xFFFF, 16)
+        state0 = _uniform_push(state0, words, (sj >> 32) & 0xFFFF, 16)
+        if low > 0:
+            state0 = _uniform_push(state0, words, sj >> 48, low)
+        state0 = _uniform_push(state0, words, nb - 33, 5)
 
     out = bytearray(_HEADER.pack(MAGIC, enc.n, S, state0, len(words)))
     out += np.asarray(words, dtype="<u4").tobytes()
@@ -78,11 +104,17 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
 
     states = [0] * S
     for j in range(S - 1, 0, -1):
+        state0, nb33 = _uniform_pop(state0, words, 5)
+        nb = nb33 + 33
+        low = nb - 48
         sj = 0
-        for shift in (48, 32, 16, 0):  # MSB chunk pops first
-            state0, chunk = _uniform16_pop(state0, words)
-            sj |= chunk << shift
-        states[j] = sj
+        if low > 0:
+            state0, top = _uniform_pop(state0, words, low)
+            sj = top << 48
+        state0, c2 = _uniform_pop(state0, words, 16)
+        state0, c1 = _uniform_pop(state0, words, 16)
+        state0, c0 = _uniform_pop(state0, words, 16)
+        states[j] = sj | (c2 << 32) | (c1 << 16) | c0
     states[0] = state0
 
     k = _plan_steps(n, S)

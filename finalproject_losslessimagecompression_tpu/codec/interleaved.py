@@ -48,10 +48,14 @@ STEP_QUANTUM = 16  # bucket scan lengths to limit recompilation
 
 @dataclass
 class EncodedStreams:
-    """Device-side result of an interleaved encode (before container pack)."""
+    """Device-side result of an interleaved encode (before container pack).
+
+    `num_words` may be a device scalar (encode side -- kept on device so the
+    encode call needs NO host sync; container packing fetches it together
+    with the buffers in one transfer) or a Python int (unpacked side)."""
 
     words: jax.Array  # [cap] uint32, global emission buffer, (t, s) order
-    num_words: int  # words actually used (prefix of `words`)
+    num_words: object  # int or device scalar: words used (prefix of words)
     state_hi: jax.Array  # [S] uint32 final states
     state_lo: jax.Array  # [S] uint32
     n: int  # number of real (unpadded) symbols
@@ -83,29 +87,55 @@ def _lower_bin(mean):
 # ---------------------------------------------------------------------------
 
 
+def _div_digit(r, ni, f, rcp):
+    """One base-2^16 long-division step: (r*2^16 + ni) divmod f.
+
+    r < f <= 2^24, ni < 2^16, so acc = r*2^16 + ni < f*2^16 <= 2^40 -- too
+    wide for uint32, so the quotient digit is ESTIMATED in float32
+    (acc_f * (1/f)) and corrected exactly in mod-2^32 integer arithmetic:
+    the true residual acc - d*f has magnitude < 4f < 2^26, so it is
+    recovered exactly from the low 32 bits as a signed value.  Error bound:
+    |acc_f - acc| <= ~f*2^-7 (two f32 roundings of terms <= f*2^16), rcp
+    within a few ulp of 1/f, so the digit estimate is within +-2 of truth;
+    three correction rounds cover +-3.  Integer division is avoided
+    entirely -- TPUs emulate uint32 divide with a long instruction
+    sequence, and this float path is ~5x cheaper.
+    """
+    acc_f = r.astype(jnp.float32) * jnp.float32(65536.0) + ni.astype(
+        jnp.float32
+    )
+    acc_lo = (r << 16) | ni  # exact mod 2^32
+    d = (acc_f * rcp).astype(_U)
+    rem = (acc_lo - d * f).astype(jnp.int32)
+    fi = f.astype(jnp.int32)
+    for _ in range(3):
+        neg = rem < 0
+        d = jnp.where(neg, d - _U(1), d)
+        rem = jnp.where(neg, rem + fi, rem)
+        big = rem >= fi
+        d = jnp.where(big, d + _U(1), d)
+        rem = jnp.where(big, rem - fi, rem)
+    return d, rem.astype(_U)
+
+
 def _div_state_by_freq(hi, lo, f):
     """(hi*2^32 + lo) // f and % f, with state < f*2^40, f in [1, 2^24].
 
-    Base-256 long division: one division folds the whole hi limb (its
-    quotient contribution, at weight 2^32, is < 2^8 because the full
-    quotient is < 2^40), then four byte steps over lo.  Every intermediate
-    dividend fits uint32: r < f <= 2^24, so r*256 + byte <= f*256-1 < 2^32.
+    Long division in base 2^16 over the state's digits (n3 n2 n1 n0).  The
+    top digit needs no division: n < f*2^40 implies n3 = n >> 48 < f, so it
+    seeds the remainder directly and the quotient is d2*2^32 + d1*2^16 + d0
+    (< 2^40, so d2 < 2^8).  Digit steps are division-free (_div_digit).
     """
-    q_top = hi // f
-    r = hi % f
-    acc = (r << 8) | (lo >> 24)
-    q3 = acc // f
-    r = acc % f
-    acc = (r << 8) | ((lo >> 16) & _U(0xFF))
-    q2 = acc // f
-    r = acc % f
-    acc = (r << 8) | ((lo >> 8) & _U(0xFF))
-    q1 = acc // f
-    r = acc % f
-    acc = (r << 8) | (lo & _U(0xFF))
-    q0 = acc // f
-    r = acc % f
-    q_lo = (q3 << 24) | (q2 << 16) | (q1 << 8) | q0
+    rcp = jnp.float32(1.0) / f.astype(jnp.float32)
+    n3 = hi >> 16
+    n2 = hi & _U(0xFFFF)
+    n1 = lo >> 16
+    n0 = lo & _U(0xFFFF)
+    d2, r = _div_digit(n3, n2, f, rcp)
+    d1, r = _div_digit(r, n1, f, rcp)
+    d0, r = _div_digit(r, n0, f, rcp)
+    q_top = d2  # < 2^8
+    q_lo = (d1 << 16) | d0
     return q_top, q_lo, r  # quotient = q_top*2^32 + q_lo
 
 
@@ -154,27 +184,8 @@ def _encode_step(carry, xs):
     return (new_hi, new_lo), (word, emit)
 
 
-@partial(jax.jit, static_argnames=("num_streams", "steps"))
-def _encode_scan(values, means, scales, num_streams: int, steps: int):
-    S = num_streams
-    hi0 = jnp.ones((S,), _U)  # initial state = 2^32 (reference: coder.py:18)
-    lo0 = jnp.zeros((S,), _U)
-    (hi, lo), (words_t, emit_t) = jax.lax.scan(
-        _encode_step, (hi0, lo0), (values, means, scales)
-    )
-    # Compact [k, S] emissions into one global buffer in (t, s) order.
-    flags = emit_t.reshape(-1)
-    words = words_t.reshape(-1)
-    flags_i = flags.astype(jnp.int32)
-    pos = jnp.cumsum(flags_i) - flags_i  # exclusive prefix
-    total = jnp.sum(flags_i)
-    cap = steps * S
-    safe_pos = jnp.where(flags, pos, cap)  # OOB rows dropped
-    buf = jnp.zeros((cap,), _U).at[safe_pos].set(words, mode="drop")
-    return buf, total, hi, lo
-
-
 def _layout(arr, n, S, k, pad_const):
+    """Flat [n] -> [k, S] with tail padding; runs inside jit (static pad)."""
     flat = jnp.asarray(arr).reshape(-1)
     pad = S * k - n
     if pad:
@@ -182,38 +193,66 @@ def _layout(arr, n, S, k, pad_const):
     return flat.reshape(k, S)
 
 
+@partial(jax.jit, static_argnames=("num_streams", "steps"))
+def _encode_scan(values, means, scales, num_streams: int, steps: int):
+    """Whole encode (layout + scan + compaction) as ONE program.
+
+    Everything lives in a single jit: under remote-dispatch runtimes each
+    eager op costs a host round trip that dwarfs the compute.
+    values/means/scales arrive flat [n]; n <= steps * num_streams.
+    """
+    S, k = num_streams, steps
+    n = int(np.prod(values.shape))
+    v = _layout(jnp.asarray(values, jnp.int32), n, S, k, PAD_VALUE)
+    m = _layout(jnp.asarray(means, jnp.float32), n, S, k, PAD_MEAN)
+    s = _layout(jnp.asarray(scales, jnp.float32), n, S, k, PAD_SCALE)
+    hi0 = jnp.ones((S,), _U)  # initial state = 2^32 (reference: coder.py:18)
+    lo0 = jnp.zeros((S,), _U)
+    (hi, lo), (words_t, emit_t) = jax.lax.scan(
+        _encode_step, (hi0, lo0), (v, m, s)
+    )
+    # Compact [k, S] emissions into one global buffer in (t, s) order.
+    flags = emit_t.reshape(-1)
+    words = words_t.reshape(-1)
+    flags_i = flags.astype(jnp.int32)
+    pos = jnp.cumsum(flags_i) - flags_i  # exclusive prefix
+    total = jnp.sum(flags_i)
+    cap = k * S
+    safe_pos = jnp.where(flags, pos, cap)  # OOB rows dropped
+    buf = jnp.zeros((cap,), _U).at[safe_pos].set(words, mode="drop")
+    return buf, total, hi, lo
+
+
 def _plan_steps(n: int, S: int) -> int:
     k = -(-n // S)
     return -(-k // STEP_QUANTUM) * STEP_QUANTUM
 
 
-def pick_num_streams(n: int, requested: int = 1024) -> int:
-    """Cap parallelism so each stream codes >= ~128 symbols: a stream's flush
-    wastes up to ~32 bits of state headroom, so short streams would dominate
-    the rate (the reference's single stream pays this once, trainer.py:327;
-    we pay it S times and amortize by sizing S to the message)."""
-    return int(min(requested, max(8, n // 128)))
+def pick_num_streams(n: int, requested: int = 4096) -> int:
+    """Cap parallelism so each stream codes >= ~64 symbols.  With the
+    container's variable-length state flush (container.py) a stream costs
+    ~5 wasted bits, so 64 symbols/stream bounds flush overhead at ~0.1
+    bit/symbol while keeping the VPU lanes full (the reference's single
+    serial stream pays its 64 bits once, trainer.py:327, but codes one
+    symbol at a time on a CPU)."""
+    return int(min(requested, max(8, n // 64)))
 
 
 def interleaved_encode(
-    values, means, scales, num_streams: int = 1024
+    values, means, scales, num_streams: int = 4096
 ) -> EncodedStreams:
     """Encode integer-bin symbols (v = round(x*256)) with S parallel streams.
 
     values: int-like [n]; means/scales: float32 [n]. Returns device buffers.
+    One jit dispatch + one scalar readback.
     """
-    values = jnp.asarray(values, jnp.int32).reshape(-1)
-    n = int(values.shape[0])
+    n = int(np.prod(np.shape(values)))
     S = pick_num_streams(n, num_streams)
-    del num_streams
     k = _plan_steps(n, S)
-    v = _layout(values, n, S, k, PAD_VALUE)
-    m = _layout(jnp.asarray(means, jnp.float32), n, S, k, PAD_MEAN)
-    s = _layout(jnp.asarray(scales, jnp.float32), n, S, k, PAD_SCALE)
-    buf, total, hi, lo = _encode_scan(v, m, s, S, k)
+    buf, total, hi, lo = _encode_scan(values, means, scales, S, k)
     return EncodedStreams(
         words=buf,
-        num_words=int(jax.device_get(total)),
+        num_words=total,  # device scalar; no host sync here
         state_hi=hi,
         state_lo=lo,
         n=n,
@@ -275,13 +314,18 @@ def _decode_step(carry, xs, *, buf):
     return (new_hi, new_lo, ptr), v
 
 
-@partial(jax.jit, static_argnames=())
-def _decode_scan(buf, num_words, hi, lo, means, scales):
+@partial(jax.jit, static_argnames=("num_streams", "steps"))
+def _decode_scan(buf, num_words, hi, lo, means, scales,
+                 num_streams: int, steps: int):
+    S, k = num_streams, steps
+    n = int(np.prod(means.shape))
+    m = _layout(jnp.asarray(means, jnp.float32), n, S, k, PAD_MEAN)
+    s = _layout(jnp.asarray(scales, jnp.float32), n, S, k, PAD_SCALE)
     step = partial(_decode_step, buf=buf)
     (hi, lo, ptr), vals = jax.lax.scan(
-        step, (hi, lo, num_words), (means, scales), reverse=True
+        step, (hi, lo, num_words), (m, s), reverse=True
     )
-    return vals, hi, lo, ptr
+    return vals.reshape(-1)[:n], hi, lo, ptr
 
 
 def interleaved_decode(
@@ -294,14 +338,17 @@ def interleaved_decode(
     S = enc.num_streams
     n = enc.n
     k = _plan_steps(n, S)
-    m = _layout(jnp.asarray(means, jnp.float32), n, S, k, PAD_MEAN)
-    s = _layout(jnp.asarray(scales, jnp.float32), n, S, k, PAD_SCALE)
+    nw = enc.num_words
+    if not isinstance(nw, jax.Array):
+        nw = np.int32(nw)
     vals, hi, lo, ptr = _decode_scan(
         enc.words,
-        jnp.asarray(enc.num_words, jnp.int32),
+        nw,
         enc.state_hi,
         enc.state_lo,
-        m,
-        s,
+        means,
+        scales,
+        S,
+        k,
     )
-    return vals.reshape(-1)[:n], hi, lo
+    return vals, hi, lo

@@ -6,19 +6,27 @@ its in-training coding test reuses forward-pass means at decode,
 trainer.py:304-327).  Decoding here regenerates every prior from
 already-decoded conditioning, level by level, interleaved with rANS decode.
 
-Bit-exactness strategy: the only float computations whose encode/decode
-parity is not IEEE-guaranteed are the NN evaluations (conv reductions,
-transcendentals).  Each coupling shift t(xa) and each prior head therefore
-runs through ONE shared jitted callable used by BOTH compress and
-decompress, so both sides execute the identical XLA executable.  Everything
-else on the path -- channel gathers, space-to-depth, grid adds/subs -- is
-exact in float32 (grid values are dyadic with 8 fractional bits; sums stay
-below 2^16 so no rounding ever occurs).
+Bit-exactness strategy.  Grid arithmetic (gathers, space-to-depth, adds of
+1/256-grid values below 2^16) is exact in float32 in any program.  The NN
+evaluations are the only cross-program risk:
 
-Within one process this is airtight (the jit cache returns the same
-executable).  Across processes it relies on deterministic XLA compilation
-for the same jaxlib/hardware, which holds in practice and is covered by
-tests/bench.
+- The PRIOR heads must produce identical (mean, logscale) at encode and
+  decode time -- these parameterize the rANS CDF, so they always run
+  through ONE shared jitted `_prior` executable on both sides.
+- The COUPLING shifts t(xa) must match between the forward pass (compress)
+  and the inverse pass (decompress).  Two granularities:
+    * granularity="level" (default): whole-level fused programs (one jit
+      dispatch per level).  The coupling convs appear in two different XLA
+      programs; determinism holds because identical conv HLOs with
+      identical shapes/layouts compile to identical kernels, and XLA's
+      elementwise fusion never changes f32 values.  Verified on hardware by
+      the bench/round-trip tests every run.
+    * granularity="nn": every coupling NN runs through its own shared jit
+      (compress and decompress literally execute the same binary) --
+      airtight, at the cost of many small dispatches.
+
+Dispatch discipline: under remote-tunnel runtimes each eager op is a host
+round trip; the level path costs ~4 dispatches per level per direction.
 """
 
 from __future__ import annotations
@@ -28,6 +36,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..codec.coder import decode_tensor, encode_tensor
 from ..ops.reshape import depth_to_space, space_to_depth
@@ -37,10 +46,17 @@ from .invertible import coupling_split, inverse_permutation
 
 
 class FlowCodec:
-    def __init__(self, model: IDFlow, num_streams: int = 1024):
+    def __init__(
+        self,
+        model: IDFlow,
+        num_streams: int = 4096,
+        granularity: str = "level",
+    ):
+        assert granularity in ("level", "nn")
         self.model = model
         self.cfg = model.cfg
         self.num_streams = num_streams
+        self.granularity = granularity
         self.plans = level_plans(self.cfg)
         self.perms = flow_permutations(self.cfg)
         self.inv_perms = [
@@ -50,96 +66,158 @@ class FlowCodec:
             coupling_split(p.channel, self.cfg.couple.split)[0]
             for p in self.plans
         ]
+        cfg = self.cfg
 
-        def _t(params, xa, level, step):
-            return model.apply(params, xa, level, step, method=IDFlow.couple_t)
-
+        # ---- shared prior executable (both directions MUST use this) ----
         def _prior(params, ref, level, cond_l):
             return model.apply(
                 params, ref, level, cond_l, method=IDFlow.prior_params
             )
 
+        self._prior = jax.jit(_prior, static_argnums=(2,))
+
         def _cond(params, cond):
             return model.apply(params, cond, method=IDFlow.cond_features)
 
-        # shared executables: compress and decompress MUST go through these
-        self._t = jax.jit(_t, static_argnums=(2, 3))
-        self._prior = jax.jit(_prior, static_argnums=(2,))
         self._cond = jax.jit(_cond)
+
+        # ---- level-fused programs (fast path) ----
+        def _level_fwd(params, x, level):
+            """squeeze -> flows -> split; returns (z, keep)."""
+            x = space_to_depth(x, cfg.extend_scale)
+            x = model.apply(params, x, level, method=IDFlow._flow_level)
+            p = self.plans[level]
+            if level == cfg.nsplit - 1:
+                return x, x[..., :0]
+            return x[..., : p.z_ch], x[..., p.z_ch :]
+
+        def _level_inv(params, z, keep, level):
+            """concat -> inverse flows -> unsqueeze; keep is None at the
+            last level."""
+            x = z if keep is None else jnp.concatenate([z, keep], axis=-1)
+            x = model.apply(
+                params, x, level, method=IDFlow._flow_level_inverse
+            )
+            return depth_to_space(x, cfg.extend_scale)
+
+        self._level_fwd = jax.jit(_level_fwd, static_argnums=(2,))
+        self._level_inv = jax.jit(_level_inv, static_argnums=(3,))
+
+        # ---- per-NN shared executable (conservative path) ----
+        def _t(params, xa, level, step):
+            return model.apply(params, xa, level, step, method=IDFlow.couple_t)
+
+        self._t = jax.jit(_t, static_argnums=(2, 3))
+
+        self._fold = jax.jit(fold_batch, static_argnums=(1,))
+        self._unfold = jax.jit(unfold_batch, static_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    # conservative per-NN path (shared t executables, eager plumbing)
+    # ------------------------------------------------------------------
+
+    def _nn_level_fwd(self, params, x, level):
+        cfg = self.cfg
+        x = space_to_depth(x, cfg.extend_scale)
+        a = self.a_chs[level]
+        for step in range(cfg.nflows):
+            x = jnp.take(x, self.perms[level][step], axis=-1)
+            xa, xb = x[..., :a], x[..., a:]
+            x = jnp.concatenate(
+                [xa, xb + self._t(params, xa, level, step)], axis=-1
+            )
+        x = jnp.take(x, self.perms[level][cfg.nflows], axis=-1)
+        p = self.plans[level]
+        if level == cfg.nsplit - 1:
+            return x, None
+        return x[..., : p.z_ch], x[..., p.z_ch :]
+
+    def _nn_level_inv(self, params, z, keep, level):
+        cfg = self.cfg
+        a = self.a_chs[level]
+        x = z if keep is None else jnp.concatenate([z, keep], axis=-1)
+        x = jnp.take(x, self.inv_perms[level][cfg.nflows], axis=-1)
+        for step in range(cfg.nflows - 1, -1, -1):
+            za, zb = x[..., :a], x[..., a:]
+            x = jnp.concatenate(
+                [za, zb - self._t(params, za, level, step)], axis=-1
+            )
+            x = jnp.take(x, self.inv_perms[level][step], axis=-1)
+        return depth_to_space(x, cfg.extend_scale)
 
     # ------------------------------------------------------------------
 
-    def _couple_forward(self, params, x, level, step):
-        x = jnp.take(x, self.perms[level][step], axis=-1)
-        a = self.a_chs[level]
-        xa, xb = x[..., :a], x[..., a:]
-        t = self._t(params, xa, level, step)
-        return jnp.concatenate([xa, xb + t], axis=-1)
+    def _run_level_fwd(self, params, x, level):
+        if self.granularity == "level":
+            z, keep = self._level_fwd(params, x, level)
+            if level == self.cfg.nsplit - 1:
+                keep = None
+            return z, keep
+        return self._nn_level_fwd(params, x, level)
 
-    def _couple_inverse(self, params, x, level, step):
-        a = self.a_chs[level]
-        za, zb = x[..., :a], x[..., a:]
-        t = self._t(params, za, level, step)
-        x = jnp.concatenate([za, zb - t], axis=-1)
-        return jnp.take(x, self.inv_perms[level][step], axis=-1)
+    def _run_level_inv(self, params, z, keep, level):
+        if self.granularity == "level":
+            return self._level_inv(params, z, keep, level)
+        return self._nn_level_inv(params, z, keep, level)
 
     def compress(
         self, params, x, cond=None
     ) -> Tuple[List[bytes], dict]:
         """Encode an image batch (values on the 1/256 grid) to per-level
-        rANS containers.  Returns (blobs, info) where info carries the
-        decoder-side shape metadata."""
+        rANS containers.  Returns (blobs, info) with decoder metadata.
+
+        All levels are dispatched sync-free, then packed with ONE host
+        transfer -- the device pipeline never stalls between levels."""
+        from ..codec.coder import encode_tensor_deferred
+        from ..codec.container import pack_streams_many
+
         cfg = self.cfg
         batch = int(x.shape[0])
         if cfg.batch_squeeze:
-            x = fold_batch(x, cfg.batch_squeeze)
+            x = self._fold(x, cfg.batch_squeeze)
         conds = self._cond(params, cond) if cfg.conditional else None
-        blobs: List[bytes] = []
-        for level, p in enumerate(self.plans):
-            x = space_to_depth(x, cfg.extend_scale)
-            for step in range(cfg.nflows):
-                x = self._couple_forward(params, x, level, step)
-            x = jnp.take(x, self.perms[level][cfg.nflows], axis=-1)
-            last = level == cfg.nsplit - 1
-            if last:
-                z, keep = x, None
-            else:
-                z, keep = x[..., : p.z_ch], x[..., p.z_ch :]
+        encs = []
+        for level in range(cfg.nsplit):
+            z, keep = self._run_level_fwd(params, x, level)
+            ref = z if keep is None else keep
             mean, logscale = self._prior(
-                params, z if last else keep, level,
-                conds[level] if conds else None,
+                params, ref, level, conds[level] if conds else None
             )
-            blobs.append(
-                encode_tensor(z, mean, logscale, self.num_streams)
+            encs.append(
+                encode_tensor_deferred(z, mean, logscale, self.num_streams)
             )
             x = keep
-        return blobs, {"batch": batch}
+        return pack_streams_many(encs), {"batch": batch}
 
     def decompress(self, params, blobs: Sequence[bytes], info: dict, cond=None):
         """Decode containers back to the exact input batch."""
         cfg = self.cfg
         batch = info["batch"]
         fold = 1 if cfg.batch_squeeze else batch
+        from ..codec.coder import decode_tensor_deferred
+
         conds = self._cond(params, cond) if cfg.conditional else None
         x = None
+        oks = []
         for level in range(cfg.nsplit - 1, -1, -1):
             p = self.plans[level]
             last = level == cfg.nsplit - 1
             if last:
-                ref = jnp.zeros((fold, p.h, p.w, p.z_ch), jnp.float32)
+                ref = np.zeros((fold, p.h, p.w, p.z_ch), np.float32)
             else:
                 ref = x  # the kept half, already decoded
             mean, logscale = self._prior(
                 params, ref, level, conds[level] if conds else None
             )
-            z = decode_tensor(blobs[level], mean, logscale)
-            x = z if last else jnp.concatenate([z, x], axis=-1)
-            x = jnp.take(x, self.inv_perms[level][cfg.nflows], axis=-1)
-            for step in range(cfg.nflows - 1, -1, -1):
-                x = self._couple_inverse(params, x, level, step)
-            x = depth_to_space(x, cfg.extend_scale)
+            z, ok = decode_tensor_deferred(blobs[level], mean, logscale)
+            oks.append(ok)
+            x = self._run_level_inv(params, z, None if last else x, level)
         if cfg.batch_squeeze:
-            x = unfold_batch(x, cfg.C)[:batch]
+            x = self._unfold(x, cfg.C)[:batch]
+        if not all(jax.device_get(oks)):  # one sync for all levels
+            raise ValueError(
+                "rANS decode failed: state did not return to 2^32"
+            )
         return x
 
     def coded_bits(self, blobs: Sequence[bytes]) -> int:

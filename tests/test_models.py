@@ -129,6 +129,21 @@ class TestFlowCodec:
         bpd = codec.real_bpd(blobs, info)
         assert 0 < bpd < 16
 
+    def test_nn_granularity_matches_level(self, model_and_params, rng):
+        """The conservative per-NN path and the fused level path must
+        produce identical containers and round-trips."""
+        cfg, model, params = model_and_params
+        x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
+        c_level = FlowCodec(model, num_streams=64, granularity="level")
+        c_nn = FlowCodec(model, num_streams=64, granularity="nn")
+        b1, i1 = c_level.compress(params, x)
+        b2, i2 = c_nn.compress(params, x)
+        assert b1 == b2
+        rec = c_nn.decompress(params, b1, i1)
+        assert np.array_equal(np.asarray(rec), np.asarray(x))
+        rec2 = c_level.decompress(params, b2, i2)
+        assert np.array_equal(np.asarray(rec2), np.asarray(x))
+
     def test_compress_matches_model_forward(self, model_and_params, rng):
         """The codec's internal forward must produce the same latents as the
         model's fused forward (same params, same math)."""
