@@ -156,7 +156,10 @@ def bench_native_baseline(v, means, scales):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--full", action="store_true",
+                    help="ImageNet64-class model (long compile)")
+    ap.add_argument("--quick", action="store_true",
+                    help="alias for the default small model")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
@@ -165,7 +168,7 @@ def main():
 
     platform = jax.devices()[0].platform
 
-    cfg, model, params = build_model(args.quick)
+    cfg, model, params = build_model(not args.full)
     imgs_per_s, exact, bpd = bench_e2e(
         cfg, model, params, args.batch, args.iters
     )
@@ -185,7 +188,7 @@ def main():
         "codec_device_sym_per_s": round(dev_sym_per_s, 1),
         "native_baseline_sym_per_s": round(base, 1) if base else None,
         "platform": platform,
-        "quick": args.quick,
+        "quick": not args.full,
     }
     print(json.dumps(out))
 

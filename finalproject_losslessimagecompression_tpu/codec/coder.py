@@ -69,6 +69,12 @@ def decode_tensor_deferred(blob: bytes, mean, logscale):
     scale = _prep_scale(logscale)
     enc = unpack_streams(blob)
     vals, hi, lo = interleaved_decode(enc, mean, scale)
+    if enc.oow_count:
+        # patch escaped out-of-window symbols with their true values
+        # (rare path; see interleaved.EncodedStreams)
+        vals = vals.at[jnp.asarray(enc.oow_idx, jnp.int32)].set(
+            jnp.asarray(enc.oow_vals, jnp.int32)
+        )
     return _finish_decode(vals, hi, lo, mean)
 
 

@@ -52,12 +52,23 @@ def pack_streams_many(encs) -> list:
     sync amortizes the runtime's host<->device round-trip latency across
     all levels of a multi-split compression)."""
     fetched = jax.device_get(
-        [(e.state_hi, e.state_lo, e.words, e.num_words) for e in encs]
+        [(e.state_hi, e.state_lo, e.words, e.num_words, e.oow_count)
+         for e in encs]
     )
-    return [
-        _pack_fetched(e, hi, lo, words, int(nw))
-        for e, (hi, lo, words, nw) in zip(encs, fetched)
-    ]
+    out = []
+    for e, (hi, lo, words, nw, oc) in zip(encs, fetched):
+        oow = b""
+        if int(oc):
+            # rare path: one extra fetch for the escape side-channel
+            mask, orig = jax.device_get((e.oow_mask, e.orig_values))
+            idx = np.nonzero(np.asarray(mask))[0]
+            vals = np.asarray(orig)[idx]
+            oow = (
+                np.asarray(idx, "<u4").tobytes()
+                + np.asarray(vals, "<i4").tobytes()
+            )
+        out.append(_pack_fetched(e, hi, lo, words, int(nw), int(oc), oow))
+    return out
 
 
 def pack_streams(enc: EncodedStreams) -> bytes:
@@ -65,7 +76,10 @@ def pack_streams(enc: EncodedStreams) -> bytes:
     return pack_streams_many([enc])[0]
 
 
-def _pack_fetched(enc, hi_a, lo_a, words_a, num_words: int) -> bytes:
+def _pack_fetched(
+    enc, hi_a, lo_a, words_a, num_words: int, oow_count: int = 0,
+    oow_blob: bytes = b"",
+) -> bytes:
     S = enc.num_streams
     hi = np.asarray(hi_a, np.uint64)
     lo = np.asarray(lo_a, np.uint64)
@@ -91,6 +105,8 @@ def _pack_fetched(enc, hi_a, lo_a, words_a, num_words: int) -> bytes:
 
     out = bytearray(_HEADER.pack(MAGIC, enc.n, S, state0, len(words)))
     out += np.asarray(words, dtype="<u4").tobytes()
+    out += struct.pack("<I", oow_count)
+    out += oow_blob
     return bytes(out)
 
 
@@ -101,6 +117,14 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
         raise ValueError("bad container magic")
     words = np.frombuffer(blob, dtype="<u4", offset=_HEADER.size, count=W)
     words = [int(w) for w in words]
+    off = _HEADER.size + 4 * W
+    (oow_count,) = struct.unpack_from("<I", blob, off)
+    off += 4
+    oow_idx = oow_vals = None
+    if oow_count:
+        oow_idx = np.frombuffer(blob, "<u4", offset=off, count=oow_count)
+        off += 4 * oow_count
+        oow_vals = np.frombuffer(blob, "<i4", offset=off, count=oow_count)
 
     states = [0] * S
     for j in range(S - 1, 0, -1):
@@ -130,6 +154,9 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
         state_lo=jnp.asarray(lo),
         n=n,
         num_streams=S,
+        oow_count=int(oow_count),
+        oow_idx=oow_idx,
+        oow_vals=oow_vals,
     )
 
 

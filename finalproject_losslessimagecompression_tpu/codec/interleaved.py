@@ -28,9 +28,11 @@ container, matching the reference's 64*nsplit accounting (trainer.py:327).
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +62,16 @@ class EncodedStreams:
     state_lo: jax.Array  # [S] uint32
     n: int  # number of real (unpadded) symbols
     num_streams: int
+    # out-of-window escape (values beyond mean +- 4 are uncodable by the
+    # 2048-bin window; the reference silently corrupts and swallows the
+    # error, trainer.py:328-329.  Here they are clamped for coding and
+    # their true values ride in a raw container side-channel):
+    oow_count: object = 0  # int or device scalar
+    oow_mask: Optional[jax.Array] = None  # [k*S] bool (padded layout)
+    orig_values: Optional[jax.Array] = None  # [k*S] int32 (padded layout)
+    # unpacked-container form of the side channel:
+    oow_idx: Optional[np.ndarray] = None  # [m] int64 flat symbol indices
+    oow_vals: Optional[np.ndarray] = None  # [m] int32 true bin values
 
 
 # ---------------------------------------------------------------------------
@@ -162,12 +174,9 @@ def _umul32(a, b):
 
 
 def _encode_step(carry, xs):
+    """One scan step over precomputed (cdf_start, freq) tiles."""
     hi, lo = carry
-    v, mean, scale = xs
-    lower = _lower_bin(mean)
-    c_start = _cdf_u32(v - 1, mean, scale, lower)
-    c_end = _cdf_u32(v, mean, scale, lower)
-    f = c_end - c_start
+    c_start, f = xs
 
     # renormalize: state >= f << 40  <=>  hi >= f << 8   (f < 2^24)
     emit = hi >= (f << 8)
@@ -193,39 +202,82 @@ def _layout(arr, n, S, k, pad_const):
     return flat.reshape(k, S)
 
 
-@partial(jax.jit, static_argnames=("num_streams", "steps"))
-def _encode_scan(values, means, scales, num_streams: int, steps: int):
-    """Whole encode (layout + scan + compaction) as ONE program.
+@partial(jax.jit, static_argnames=("num_streams", "steps", "use_pallas"))
+def _encode_scan(values, means, scales, num_streams: int, steps: int,
+                 use_pallas: bool = False):
+    """Whole encode (layout + CDF prepass + state loop + compaction) as ONE
+    program.  Everything lives in a single jit: under remote-dispatch
+    runtimes each eager op costs a host round trip that dwarfs the compute.
 
-    Everything lives in a single jit: under remote-dispatch runtimes each
-    eager op costs a host round trip that dwarfs the compute.
-    values/means/scales arrive flat [n]; n <= steps * num_streams.
+    The CDF (transcendentals) is evaluated as a fused elementwise prepass
+    over all [k, S] symbols; the sequential state loop then runs either as
+    a lax.scan or as the Pallas kernel (pallas_rans.py) -- both consume the
+    same precomputed integer (cdf, freq) tiles and produce bit-identical
+    streams.  values/means/scales arrive flat [n]; n <= steps*num_streams.
     """
     S, k = num_streams, steps
     n = int(np.prod(values.shape))
     v = _layout(jnp.asarray(values, jnp.int32), n, S, k, PAD_VALUE)
     m = _layout(jnp.asarray(means, jnp.float32), n, S, k, PAD_MEAN)
     s = _layout(jnp.asarray(scales, jnp.float32), n, S, k, PAD_SCALE)
-    hi0 = jnp.ones((S,), _U)  # initial state = 2^32 (reference: coder.py:18)
-    lo0 = jnp.zeros((S,), _U)
-    (hi, lo), (words_t, emit_t) = jax.lax.scan(
-        _encode_step, (hi0, lo0), (v, m, s)
+    # out-of-window escape: clamp into the codable window; the true values
+    # of clamped symbols travel in the container side-channel
+    lower = jnp.round(m * jnp.float32(GRID)).astype(jnp.int32) - jnp.int32(
+        NBINS // 2
     )
+    v_clamped = jnp.clip(v, lower, lower + jnp.int32(NBINS - 1))
+    oow = (v_clamped != v).reshape(-1)
+    oow_count = jnp.sum(oow.astype(jnp.int32))
+
+    # fused elementwise CDF prepass (kept out of the Pallas kernel so the
+    # exp implementation is shared with the decoder)
+    c_start = _cdf_u32(v_clamped - 1, m, s, lower)
+    f_all = _cdf_u32(v_clamped, m, s, lower) - c_start
+
+    if use_pallas:
+        from .pallas_rans import pallas_encode_core
+
+        words, flags_i, hi, lo = pallas_encode_core(c_start, f_all, S, k)
+        flags = flags_i != 0
+    else:
+        hi0 = jnp.ones((S,), _U)  # initial state = 2^32 (coder.py:18)
+        lo0 = jnp.zeros((S,), _U)
+        (hi, lo), (words_t, emit_t) = jax.lax.scan(
+            _encode_step, (hi0, lo0), (c_start, f_all)
+        )
+        flags = emit_t.reshape(-1)
+        words = words_t.reshape(-1)
+        flags_i = flags.astype(jnp.int32)
+
     # Compact [k, S] emissions into one global buffer in (t, s) order.
-    flags = emit_t.reshape(-1)
-    words = words_t.reshape(-1)
-    flags_i = flags.astype(jnp.int32)
     pos = jnp.cumsum(flags_i) - flags_i  # exclusive prefix
     total = jnp.sum(flags_i)
     cap = k * S
     safe_pos = jnp.where(flags, pos, cap)  # OOB rows dropped
     buf = jnp.zeros((cap,), _U).at[safe_pos].set(words, mode="drop")
-    return buf, total, hi, lo
+    return buf, total, hi, lo, oow_count, oow, v.reshape(-1)
 
 
 def _plan_steps(n: int, S: int) -> int:
     k = -(-n // S)
     return -(-k // STEP_QUANTUM) * STEP_QUANTUM
+
+
+_PALLAS_DISABLED = [os.environ.get("LIC_NO_PALLAS", "") == "1"]
+
+
+def _pallas_ok(S: int, k: int) -> bool:
+    if _PALLAS_DISABLED[0]:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from .pallas_rans import pallas_encode_supported
+
+    return pallas_encode_supported(S, k)
+
+
+def _disable_pallas() -> None:
+    _PALLAS_DISABLED[0] = True
 
 
 def pick_num_streams(n: int, requested: int = 4096) -> int:
@@ -249,7 +301,18 @@ def interleaved_encode(
     n = int(np.prod(np.shape(values)))
     S = pick_num_streams(n, num_streams)
     k = _plan_steps(n, S)
-    buf, total, hi, lo = _encode_scan(values, means, scales, S, k)
+    use_pallas = _pallas_ok(S, k)
+    try:
+        buf, total, hi, lo, oow_count, oow, v_orig = _encode_scan(
+            values, means, scales, S, k, use_pallas
+        )
+    except Exception:
+        if not use_pallas:
+            raise
+        _disable_pallas()  # Mosaic rejected the kernel; fall back for good
+        buf, total, hi, lo, oow_count, oow, v_orig = _encode_scan(
+            values, means, scales, S, k, False
+        )
     return EncodedStreams(
         words=buf,
         num_words=total,  # device scalar; no host sync here
@@ -257,6 +320,9 @@ def interleaved_encode(
         state_lo=lo,
         n=n,
         num_streams=S,
+        oow_count=oow_count,
+        oow_mask=oow,
+        orig_values=v_orig,
     )
 
 

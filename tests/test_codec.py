@@ -152,6 +152,23 @@ class TestInterleaved:
         out = decode_tensor(blob, m, ls)
         assert np.array_equal(np.asarray(out), lat)
 
+    def test_out_of_window_escape(self, rng):
+        """Values beyond mean +- 4 are clamped for rANS coding and their
+        true values restored from the container side-channel -- losslessness
+        holds even for uncodable outliers (the reference silently corrupts,
+        trainer.py:328-329)."""
+        n = 2000
+        v, means, scales = _random_symbols(rng, n)
+        out_pos = np.asarray([3, 100, 1999])
+        v = v.copy()
+        v[out_pos] = lower_bin(means[out_pos]) + NBINS + 500  # above window
+        v[7] = lower_bin(means[7]) - 77  # below window
+        lat = v.astype(np.float32) / 256.0
+        ls = np.log(scales).astype(np.float32)
+        blob = encode_tensor(lat, means, ls, num_streams=16)
+        dec = decode_tensor(blob, means, ls)
+        assert np.array_equal(np.asarray(dec), lat)
+
     def test_compression_rate_near_entropy(self, rng):
         """Coded size should be close to the analytic discretized-logistic
         entropy (within a few percent + state overhead)."""
