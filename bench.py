@@ -155,6 +155,24 @@ def bench_native_baseline(v, means, scales):
 
 
 def main():
+    # persistent compilation cache: the fused compress/decompress programs
+    # are expensive to compile (remote-compile environments especially);
+    # cache them across runs
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="ImageNet64-class model (long compile)")
@@ -163,8 +181,6 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
-
-    import jax
 
     platform = jax.devices()[0].platform
 

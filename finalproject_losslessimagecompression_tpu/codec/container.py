@@ -147,11 +147,13 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
     buf[: len(words)] = np.asarray(words, np.uint32)
     hi = np.asarray([s >> 32 for s in states], np.uint32)
     lo = np.asarray([s & 0xFFFFFFFF for s in states], np.uint32)
+    # arrays stay host-side (numpy); they transfer as jit-call arguments,
+    # avoiding eager device_put dispatches on the decode path
     return EncodedStreams(
-        words=jnp.asarray(buf),
+        words=buf,
         num_words=len(words),
-        state_hi=jnp.asarray(hi),
-        state_lo=jnp.asarray(lo),
+        state_hi=hi,
+        state_lo=lo,
         n=n,
         num_streams=S,
         oow_count=int(oow_count),

@@ -202,8 +202,7 @@ def _layout(arr, n, S, k, pad_const):
     return flat.reshape(k, S)
 
 
-@partial(jax.jit, static_argnames=("num_streams", "steps", "use_pallas"))
-def _encode_scan(values, means, scales, num_streams: int, steps: int,
+def _encode_core(values, means, scales, num_streams: int, steps: int,
                  use_pallas: bool = False):
     """Whole encode (layout + CDF prepass + state loop + compaction) as ONE
     program.  Everything lives in a single jit: under remote-dispatch
@@ -258,16 +257,25 @@ def _encode_scan(values, means, scales, num_streams: int, steps: int,
     return buf, total, hi, lo, oow_count, oow, v.reshape(-1)
 
 
+_encode_scan = partial(
+    jax.jit, static_argnames=("num_streams", "steps", "use_pallas")
+)(_encode_core)
+
+
 def _plan_steps(n: int, S: int) -> int:
     k = -(-n // S)
     return -(-k // STEP_QUANTUM) * STEP_QUANTUM
 
 
 _PALLAS_DISABLED = [os.environ.get("LIC_NO_PALLAS", "") == "1"]
+# The Pallas kernel is bit-identical to the scan path and similar in
+# runtime, but each (S, k) shape pays a separate Mosaic compile -- on
+# remote-compile runtimes that costs minutes per shape, so it is opt-in.
+_PALLAS_OPT_IN = [os.environ.get("LIC_USE_PALLAS", "") == "1"]
 
 
 def _pallas_ok(S: int, k: int) -> bool:
-    if _PALLAS_DISABLED[0]:
+    if _PALLAS_DISABLED[0] or not _PALLAS_OPT_IN[0]:
         return False
     if jax.default_backend() != "tpu":
         return False
@@ -380,8 +388,7 @@ def _decode_step(carry, xs, *, buf):
     return (new_hi, new_lo, ptr), v
 
 
-@partial(jax.jit, static_argnames=("num_streams", "steps"))
-def _decode_scan(buf, num_words, hi, lo, means, scales,
+def _decode_core(buf, num_words, hi, lo, means, scales,
                  num_streams: int, steps: int):
     S, k = num_streams, steps
     n = int(np.prod(means.shape))
@@ -392,6 +399,11 @@ def _decode_scan(buf, num_words, hi, lo, means, scales,
         step, (hi, lo, num_words), (m, s), reverse=True
     )
     return vals.reshape(-1)[:n], hi, lo, ptr
+
+
+_decode_scan = partial(
+    jax.jit, static_argnames=("num_streams", "steps")
+)(_decode_core)
 
 
 def interleaved_decode(

@@ -41,7 +41,13 @@ class DataLoader:
         pad: Optional[Sequence[int]] = None,
         seed: int = 0,
         drop_last: bool = False,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        """shard_index/shard_count: multi-host data sharding -- every host
+        draws the SAME seeded permutation and takes a disjoint stride of it,
+        so global batches partition deterministically across processes
+        (pass jax.process_index()/jax.process_count())."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,6 +56,8 @@ class DataLoader:
         self.pad = tuple(pad) if pad else (0, 0)
         self.seed = seed
         self.drop_last = drop_last
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         self._epoch = 0
         self._iter = self._make_iter()
 
@@ -59,8 +67,12 @@ class DataLoader:
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, self._epoch])
             )
-            return rng.permutation(n)
-        return np.arange(n)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        if self.shard_count > 1:
+            order = order[self.shard_index :: self.shard_count]
+        return order
 
     def _make_iter(self) -> Iterator[np.ndarray]:
         order = self._order()

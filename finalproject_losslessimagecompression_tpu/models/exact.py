@@ -46,13 +46,23 @@ from .invertible import coupling_split, inverse_permutation
 
 
 class FlowCodec:
+    MAX_OUTLIERS = 256  # per level, for the fused decompress path
+
     def __init__(
         self,
         model: IDFlow,
         num_streams: int = 4096,
         granularity: str = "level",
     ):
-        assert granularity in ("level", "nn")
+        # "level" (default): one program per level per direction -- good
+        #   dispatch economy at moderate compile cost.
+        # "fused": the entire compress / decompress pipeline as ONE program
+        #   each -- fewest dispatches, but the XLA program (nsplit rANS
+        #   scans + flows) compiles very slowly on remote-compile runtimes;
+        #   opt in where compilation is local/cached.
+        # "nn": every coupling NN through its own shared executable --
+        #   airtight encode/decode bit-parity, many small dispatches.
+        assert granularity in ("fused", "level", "nn")
         self.model = model
         self.cfg = model.cfg
         self.num_streams = num_streams
@@ -112,6 +122,108 @@ class FlowCodec:
         self._fold = jax.jit(fold_batch, static_argnums=(1,))
         self._unfold = jax.jit(unfold_batch, static_argnums=(1,))
 
+        # ---- fully-fused single-program paths (default) ----
+        from ..codec.interleaved import (
+            _decode_core,
+            _encode_core,
+            _plan_steps,
+            pick_num_streams,
+        )
+
+        def _level_symbol_counts():
+            out = []
+            for p in self.plans:
+                out.append(p.z_ch * p.h * p.w)
+            return out
+
+        self._plan_steps = _plan_steps
+        self._pick = pick_num_streams
+
+        def _compress_all(params, x, cond, batch):
+            """Whole compress pipeline (flows + priors + rANS) as one
+            program; returns per-level raw stream tuples."""
+            if cfg.batch_squeeze:
+                x = fold_batch(x, cfg.batch_squeeze)
+            conds = (
+                model.apply(params, cond, method=IDFlow.cond_features)
+                if cfg.conditional
+                else None
+            )
+            fold = 1 if cfg.batch_squeeze else batch
+            outs = []
+            for level in range(cfg.nsplit):
+                z, keep = _level_fwd(params, x, level)
+                last = level == cfg.nsplit - 1
+                ref = z if last else keep
+                mean, logscale = model.apply(
+                    params, ref, level,
+                    conds[level] if conds else None,
+                    method=IDFlow.prior_params,
+                )
+                v = jnp.round(z * 256.0).astype(jnp.int32).reshape(-1)
+                scale = jnp.exp(logscale).reshape(-1)
+                n = fold * self.plans[level].z_ch * self.plans[
+                    level
+                ].h * self.plans[level].w
+                S = self._pick(n, self.num_streams)
+                k = self._plan_steps(n, S)
+                outs.append(
+                    _encode_core(
+                        v, mean.reshape(-1), scale, S, k, False
+                    )
+                )
+                x = keep
+            return outs
+
+        def _decompress_all(params, bufs, num_words, his, los,
+                            oow_idx, oow_vals, cond, batch):
+            """Whole decompress pipeline as one program.  Outlier patches
+            (idx/vals padded to MAX_OUTLIERS, sentinel idx = n dropped)
+            apply to each level's decoded symbols before inversion."""
+            fold = 1 if cfg.batch_squeeze else batch
+            conds = (
+                model.apply(params, cond, method=IDFlow.cond_features)
+                if cfg.conditional
+                else None
+            )
+            x = None
+            oks = []
+            for i, level in enumerate(range(cfg.nsplit - 1, -1, -1)):
+                p = self.plans[level]
+                last = level == cfg.nsplit - 1
+                if last:
+                    ref = jnp.zeros((fold, p.h, p.w, p.z_ch), jnp.float32)
+                else:
+                    ref = x
+                mean, logscale = model.apply(
+                    params, ref, level,
+                    conds[level] if conds else None,
+                    method=IDFlow.prior_params,
+                )
+                n = fold * p.z_ch * p.h * p.w
+                S = self._pick(n, self.num_streams)
+                k = self._plan_steps(n, S)
+                vals, hi2, lo2, _ = _decode_core(
+                    bufs[i], num_words[i], his[i], los[i],
+                    mean.reshape(-1), jnp.exp(logscale).reshape(-1),
+                    S, k,
+                )
+                oks.append(
+                    jnp.logical_and(
+                        jnp.all(hi2 == jnp.uint32(1)),
+                        jnp.all(lo2 == jnp.uint32(0)),
+                    )
+                )
+                vals = vals.at[oow_idx[i]].set(oow_vals[i], mode="drop")
+                z = (vals.astype(jnp.float32) / 256.0).reshape(mean.shape)
+                x = _level_inv(params, z, None if last else x, level)
+            if cfg.batch_squeeze:
+                x = unfold_batch(x, cfg.C)
+            return x, jnp.stack(oks)
+
+        self._compress_all = jax.jit(_compress_all, static_argnums=(3,))
+        self._decompress_all = jax.jit(_decompress_all, static_argnums=(8,))
+
     # ------------------------------------------------------------------
     # conservative per-NN path (shared t executables, eager plumbing)
     # ------------------------------------------------------------------
@@ -170,9 +282,27 @@ class FlowCodec:
         transfer -- the device pipeline never stalls between levels."""
         from ..codec.coder import encode_tensor_deferred
         from ..codec.container import pack_streams_many
+        from ..codec.interleaved import EncodedStreams
 
         cfg = self.cfg
         batch = int(x.shape[0])
+        if self.granularity == "fused":
+            outs = self._compress_all(params, x, cond, batch)
+            fold = 1 if cfg.batch_squeeze else batch
+            encs = []
+            for level, o in enumerate(outs):
+                p = self.plans[level]
+                n = fold * p.z_ch * p.h * p.w
+                encs.append(
+                    EncodedStreams(
+                        words=o[0], num_words=o[1], state_hi=o[2],
+                        state_lo=o[3], n=n,
+                        num_streams=self._pick(n, self.num_streams),
+                        oow_count=o[4], oow_mask=o[5], orig_values=o[6],
+                    )
+                )
+            return pack_streams_many(encs), {"batch": batch}
+
         if cfg.batch_squeeze:
             x = self._fold(x, cfg.batch_squeeze)
         conds = self._cond(params, cond) if cfg.conditional else None
@@ -194,6 +324,39 @@ class FlowCodec:
         cfg = self.cfg
         batch = info["batch"]
         fold = 1 if cfg.batch_squeeze else batch
+        if self.granularity == "fused":
+            from ..codec.container import unpack_streams
+
+            encs = [unpack_streams(b) for b in blobs]
+            if all(e.oow_count <= self.MAX_OUTLIERS for e in encs):
+                bufs, nws, his, los, oidx, ovals = [], [], [], [], [], []
+                for level in range(cfg.nsplit - 1, -1, -1):
+                    e = encs[level]
+                    bufs.append(e.words)
+                    nws.append(np.int32(e.num_words))
+                    his.append(e.state_hi)
+                    los.append(e.state_lo)
+                    idx = np.full(self.MAX_OUTLIERS, 1 << 30, np.int32)
+                    vals = np.zeros(self.MAX_OUTLIERS, np.int32)
+                    if e.oow_count:
+                        m = int(e.oow_count)
+                        idx[:m] = np.asarray(e.oow_idx, np.int32)
+                        vals[:m] = np.asarray(e.oow_vals, np.int32)
+                    oidx.append(idx)
+                    ovals.append(vals)
+                x, oks = self._decompress_all(
+                    params, tuple(bufs), tuple(nws), tuple(his),
+                    tuple(los), tuple(oidx), tuple(ovals), cond, batch
+                )
+                if not all(jax.device_get(oks)):
+                    raise ValueError(
+                        "rANS decode failed: state did not return to 2^32"
+                    )
+                if cfg.batch_squeeze:
+                    x = x[:batch]
+                return x
+            # too many outliers for the fused path: fall through to the
+            # level-granular path below (rare)
         from ..codec.coder import decode_tensor_deferred
 
         conds = self._cond(params, cond) if cfg.conditional else None

@@ -152,45 +152,51 @@ class Trainer:
     # -- eval -------------------------------------------------------------
 
     def evaluate(self):
+        from ..utils.profiling import PhaseTimer
+
+        timer = PhaseTimer()
         bpds, real_bpds, errors = [], [], 0
-        forward_time = 0.0
-        coding_time = 0.0
         n_batches = 0
         for batch in iter(self.testloader):
             batch = jnp.asarray(batch)
-            t0 = time.time()
-            loss, aux = self.eval_step(self.params, batch)
-            loss.block_until_ready()
-            forward_time += time.time() - t0
+            with timer.phase("forward"):
+                loss, aux = self.eval_step(self.params, batch)
+                loss.block_until_ready()
             bpds.append(float(loss) / math.log(2.0))
             if self.test_coding:
-                t0 = time.time()
                 try:
-                    blobs, info = self.codec.compress(self.params, batch)
-                    rec = self.codec.decompress(self.params, blobs, info)
-                    errors += int(
-                        np.sum(np.asarray(rec) != np.asarray(batch))
-                    )
+                    with timer.phase("encode"):
+                        blobs, info = self.codec.compress(self.params, batch)
+                    with timer.phase("decode"):
+                        rec = self.codec.decompress(
+                            self.params, blobs, info
+                        )
+                        rec = np.asarray(rec)
+                    errors += int(np.sum(rec != np.asarray(batch)))
                     real_bpds.append(self.codec.real_bpd(blobs, info))
-                except ValueError as e:
-                    # out-of-window latents etc.: count the batch as failed
+                except ValueError:
+                    # undecodable stream: count the whole batch as failed
                     # (the reference swallows these, trainer.py:328-329;
                     # we surface them as metrics)
                     errors += int(np.asarray(batch).size)
-                coding_time += time.time() - t0
             n_batches += 1
             if self.max_eval_batches and n_batches >= self.max_eval_batches:
                 break
+        rep = timer.report()
         out = {
             "test_bpd": float(np.mean(bpds)) if bpds else float("nan"),
-            "forward_time": forward_time,
+            "forward_time": rep.get("forward", {}).get("total_s", 0.0),
         }
         if self.test_coding:
             out["real_bpd"] = (
                 float(np.mean(real_bpds)) if real_bpds else float("nan")
             )
             out["coding_errors"] = errors
-            out["coding_time"] = coding_time
+            out["coding_time"] = (
+                rep.get("encode", {}).get("total_s", 0.0)
+                + rep.get("decode", {}).get("total_s", 0.0)
+            )
+            out["phase_report"] = rep
         return out
 
     def sample_images(self, batch: int = 16, temperatures=(0.25, 0.5, 0.75)):

@@ -136,9 +136,12 @@ class TestFlowCodec:
         x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
         c_level = FlowCodec(model, num_streams=64, granularity="level")
         c_nn = FlowCodec(model, num_streams=64, granularity="nn")
+        c_fused = FlowCodec(model, num_streams=64, granularity="fused")
         b1, i1 = c_level.compress(params, x)
         b2, i2 = c_nn.compress(params, x)
+        b3, _ = c_fused.compress(params, x)
         assert b1 == b2
+        assert b1 == b3
         rec = c_nn.decompress(params, b1, i1)
         assert np.array_equal(np.asarray(rec), np.asarray(x))
         rec2 = c_level.decompress(params, b2, i2)
