@@ -28,7 +28,10 @@ from .metrics import MetricsWriter
 from .optim import build_optimizer
 
 
-def make_train_step(model: IDFlow, optimizer, conditional: bool = False):
+def make_train_step(model: IDFlow, optimizer, conditional: bool = False,
+                    mesh=None):
+    """Fused train step; with `mesh`, the batch shards over the whole mesh
+    and params/opt state replicate (XLA inserts the gradient psum)."""
     cfg = model.cfg
 
     def loss_fn(params, batch, cond=None):
@@ -51,8 +54,7 @@ def make_train_step(model: IDFlow, optimizer, conditional: bool = False):
         }
         return loss, aux
 
-    @jax.jit
-    def train_step(params, opt_state, batch, cond=None):
+    def _step(params, opt_state, batch, cond=None):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, cond
         )
@@ -62,7 +64,23 @@ def make_train_step(model: IDFlow, optimizer, conditional: bool = False):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
 
-    eval_step = jax.jit(loss_fn)
+    if mesh is None:
+        return jax.jit(_step), jax.jit(loss_fn)
+
+    from ..parallel.sharding import replicate, shard_batch
+
+    repl = replicate(mesh)
+    dsh = shard_batch(mesh)
+    train_step = jax.jit(
+        lambda p, o, b: _step(p, o, b),
+        in_shardings=(repl, repl, dsh),
+        out_shardings=(repl, repl, repl, repl),
+    )
+    eval_step = jax.jit(
+        lambda p, b: loss_fn(p, b),
+        in_shardings=(repl, dsh),
+        out_shardings=(repl, repl),
+    )
     return train_step, eval_step
 
 
@@ -95,8 +113,9 @@ class Trainer:
         writer_path: str,
         test_coding: bool = False,
         seed: int = 0,
-        num_streams: int = 1024,
+        num_streams: int = 4096,
         max_eval_batches: int = 0,
+        use_mesh: bool = False,
     ):
         model = dict(model)
         self.load_path = model.pop("load_path", None)
@@ -124,8 +143,14 @@ class Trainer:
         if self.load_path:
             self.restore(self.load_path)
 
+        mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        self.mesh = mesh
         self.train_step, self.eval_step = make_train_step(
-            self.model, self.optimizer
+            self.model, self.optimizer, mesh=mesh
         )
         self.forward = make_forward(self.model)
         self.codec = FlowCodec(self.model, num_streams=self.num_streams)

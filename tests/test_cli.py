@@ -1,0 +1,136 @@
+"""CLI entry points driven end-to-end: train via YAML config, sharded
+trainer, visualization, classical baselines."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+class TestTrainCLI:
+    def test_smoke_config_runs(self, tmp_path, monkeypatch):
+        """The shipped hermetic config must train, eval with coding, and
+        checkpoint through the real CLI main()."""
+        from finalproject_losslessimagecompression_tpu.cli.train import (
+            load_config,
+            build_trainer,
+        )
+
+        cfg = load_config("configs/smoke_synthetic.yaml")
+        t = cfg["train"]
+        t["max_step"] = 4
+        t["step_per_epoch"] = 2
+        t["evaluate_interval"] = 4
+        t["save_path"] = str(tmp_path / "smoke.ckpt")
+        t["writer_path"] = str(tmp_path / "logs")
+        t["max_eval_batches"] = 1
+        trainer = build_trainer(cfg)
+        trainer.train()
+        assert os.path.exists(t["save_path"])
+        ev = trainer.evaluate()
+        assert ev["coding_errors"] == 0
+
+    def test_generated_configs_parse(self):
+        """Every generated config must at least build its model config."""
+        import glob
+
+        from finalproject_losslessimagecompression_tpu.models.config import (
+            FlowCfg,
+        )
+
+        for path in glob.glob("configs/*.yaml"):
+            with open(path) as f:
+                cfg = yaml.safe_load(f)
+            assert "train" in cfg, path
+            tc = cfg["train"]
+            model = tc.get("model") or tc.get("flows")
+            assert model is not None, path
+            name = model.get("name", "")
+            if name in ("IDFlows", "ConditionalFlows"):
+                FlowCfg.from_ref(dict(model))
+
+
+class TestShardedTrainer:
+    def test_use_mesh(self, tmp_path):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_training import tiny_train_config
+
+        cfg = tiny_train_config(tmp_path, max_step=4)
+        cfg["train"]["use_mesh"] = True
+        cfg["train"]["train_dataloader"]["batch_size"] = 8
+        cfg["train"]["test_dataloader"]["batch_size"] = 8
+        from finalproject_losslessimagecompression_tpu.cli.train import (
+            build_trainer,
+        )
+
+        t = build_trainer(cfg)
+        assert t.mesh is not None
+        t.train()
+
+
+class TestVisualize:
+    def test_sample_and_interpolate(self, tmp_path):
+        from finalproject_losslessimagecompression_tpu.cli.visualize import (
+            interpolate,
+            load_model,
+            sample,
+        )
+        from finalproject_losslessimagecompression_tpu.train.metrics import (
+            MetricsWriter,
+        )
+
+        model_cfg = dict(
+            name="IDFlows", nflows=1, nsplit=1, H=8, W=8, C=3,
+            couple=dict(name="AdditiveCouple", split=0.75,
+                        nn=dict(name="DenseBlock", growth_channel=8,
+                                depth=1,
+                                layer=dict(name="DenseLayer", act="ReLU")),
+                        round=dict(name="Round", nbits=8)),
+            extenddim=dict(name="ExtendDim", scale=2),
+            prior=dict(name="Prior", round=dict(name="Round", nbits=8),
+                       nn=dict(name="DenseBlock", growth_channel=8, depth=1,
+                               layer=dict(name="DenseLayer", act="ReLU"))),
+            distribution=dict(name="DLogistic"),
+            round=dict(name="Round", nbits=8),
+        )
+        cfg, model, params = load_model(model_cfg)
+        writer = MetricsWriter(str(tmp_path), use_tensorboard=False)
+        sample(cfg, model, params, writer, batch=4, temperatures=(0.5,))
+        corners = np.random.default_rng(0).uniform(
+            0, 1, (4, 8, 8, 3)
+        ).astype(np.float32)
+        interpolate(cfg, model, params, writer, corners, grid=2)
+        imgs = os.listdir(os.path.join(str(tmp_path), "images"))
+        assert any("sample" in f for f in imgs)
+        assert any("interpolate" in f for f in imgs)
+
+
+class TestBaselines:
+    def test_synthetic_run(self):
+        from finalproject_losslessimagecompression_tpu.cli.baselines import run
+        from finalproject_losslessimagecompression_tpu.registry import (
+            DATALOADERS,
+            build,
+        )
+
+        loader = build(
+            DATALOADERS,
+            dict(
+                name="CustomDataLoader",
+                dataset=dict(name="SyntheticImages", size=[16, 16, 3],
+                             length=4, seed=0),
+                batch_size=2,
+                shuffle=False,
+            ),
+        )
+        res = run(loader, max_batches=1)
+        for name in ("gzip", "bz2", "lzma", "png", "webp", "gzip_png"):
+            assert name in res
+            assert 0 < res[name]["bpd"] <= 64
