@@ -15,6 +15,9 @@ from .invertible import (
 )
 from .idflow import IDFlow, flow_permutations, log_likelihood
 from .exact import FlowCodec
+from .twolevel import TwoLevelCfg, TwoLevelFlow
+from .twolevel_codec import TwoLevelCodec
+from .vqvae import VQVAE, VectorQuantizer, build_vqvae_from_ref, vq_reinit
 
 __all__ = [
     "CouplingCfg",
@@ -35,4 +38,11 @@ __all__ = [
     "flow_permutations",
     "log_likelihood",
     "FlowCodec",
+    "TwoLevelCfg",
+    "TwoLevelFlow",
+    "TwoLevelCodec",
+    "VQVAE",
+    "VectorQuantizer",
+    "build_vqvae_from_ref",
+    "vq_reinit",
 ]

@@ -116,6 +116,7 @@ class Trainer:
         num_streams: int = 4096,
         max_eval_batches: int = 0,
         use_mesh: bool = False,
+        log_every: int = 1,
     ):
         model = dict(model)
         self.load_path = model.pop("load_path", None)
@@ -133,6 +134,7 @@ class Trainer:
         self.test_coding = test_coding
         self.num_streams = num_streams
         self.max_eval_batches = max_eval_batches
+        self.log_every = max(1, log_every)
         self.step = 0
 
         init_x = jnp.zeros(
@@ -257,9 +259,12 @@ class Trainer:
             self.params, self.opt_state, loss, aux = self.train_step(
                 self.params, self.opt_state, batch
             )
-            bpd = float(loss) / log
-            self.writer.add_scalar("train loss", float(loss), self.step)
-            self.writer.add_scalar("train bpd", bpd, self.step)
+            if self.step % self.log_every == 0:
+                # reading the loss forces a host sync; log_every > 1 keeps
+                # the device pipeline hot on high-latency runtimes
+                bpd = float(loss) / log
+                self.writer.add_scalar("train loss", float(loss), self.step)
+                self.writer.add_scalar("train bpd", bpd, self.step)
 
             if self._at_interval(self.evaluate_interval):
                 for i, (mx, mn, sb) in enumerate(

@@ -67,6 +67,8 @@ class TwoLevelTrainer:
         writer_path: str,
         seed: int = 0,
         max_eval_batches: int = 0,
+        test_coding: bool = False,
+        num_streams: int = 4096,
     ):
         model = dict(model)
         self.load_path = model.pop("load_path", None)
@@ -94,6 +96,12 @@ class TwoLevelTrainer:
             self.model, self.optimizer
         )
         self.sample_key = jax.random.PRNGKey(seed + 1)
+        self.test_coding = test_coding
+        self.codec = None
+        if test_coding:
+            from ..models.twolevel_codec import TwoLevelCodec
+
+            self.codec = TwoLevelCodec(self.model, num_streams=num_streams)
 
     def _state(self):
         return {"params": self.params, "opt_state": self.opt_state,
@@ -114,14 +122,36 @@ class TwoLevelTrainer:
 
     def evaluate(self):
         out = []
+        real_bpds, errors = [], 0
         n = 0
         for batch in iter(self.testloader):
-            _, aux = self.eval_step(self.params, jnp.asarray(batch))
+            batch = jnp.asarray(batch)
+            _, aux = self.eval_step(self.params, batch)
             out.append(self._bpds(aux))
+            if self.codec is not None:
+                try:
+                    blobs, info = self.codec.compress(self.params, batch)
+                    rec = self.codec.decompress(self.params, blobs, info)
+                    errors += int(
+                        np.sum(np.asarray(rec) != np.asarray(batch))
+                    )
+                    real_bpds.append(self.codec.real_bpd(blobs, info))
+                except ValueError:
+                    errors += int(np.asarray(batch).size)
             n += 1
             if self.max_eval_batches and n >= self.max_eval_batches:
                 break
-        return tuple(float(np.mean([o[i] for o in out])) for i in range(3))
+        bpds = tuple(
+            float(np.mean([o[i] for o in out])) for i in range(3)
+        )
+        if self.codec is not None:
+            self.writer.add_scalar(
+                "real bpd",
+                float(np.mean(real_bpds)) if real_bpds else float("nan"),
+                self.step,
+            )
+            self.writer.add_scalar("coding errors", errors, self.step)
+        return bpds
 
     def sample_images(self, batch=4, temperatures=(0.25, 0.5, 0.75, 1.0)):
         from ..models.config import latent_shapes as ls_fn

@@ -237,6 +237,73 @@ class TestTwoLevel:
         assert imgs[0.5].shape == (2, 16, 16, 3)
 
 
+class TestTwoLevelCodec:
+    def test_bit_exact_roundtrip(self, rng):
+        """Real two-level compression (the reference never implemented
+        coding for TwoLevelFlows) must round-trip bit-exactly."""
+        import jax
+        import jax.numpy as jnp
+
+        from finalproject_losslessimagecompression_tpu.models.twolevel import (
+            TwoLevelCfg,
+            TwoLevelFlow,
+        )
+        from finalproject_losslessimagecompression_tpu.models.twolevel_codec import (
+            TwoLevelCodec,
+        )
+        from finalproject_losslessimagecompression_tpu.models.config import (
+            FlowCfg,
+        )
+
+        cfg = TwoLevelCfg(
+            H=15,
+            W=15,
+            C=3,
+            pad=(1, 1),
+            rough=FlowCfg.from_ref(small_flow_dict(4, 4, scale=2)),
+            fine=FlowCfg.from_ref(small_flow_dict(8, 8, scale=2)),
+        )
+        model = TwoLevelFlow(cfg)
+        from finalproject_losslessimagecompression_tpu.ops.rounding import (
+            round_to_grid,
+        )
+
+        x = round_to_grid(
+            jnp.asarray(rng.uniform(0, 1, (2, 15, 15, 3)), jnp.float32), 8
+        )
+        params = model.init(jax.random.PRNGKey(0), x)
+        codec = TwoLevelCodec(model, num_streams=32)
+        blobs, info = codec.compress(params, x)
+        rec = codec.decompress(params, blobs, info)
+        import numpy as np
+
+        assert np.array_equal(np.asarray(rec), np.asarray(x))
+        assert 0 < codec.real_bpd(blobs, info) < 32
+
+    def test_rejects_nondivisible(self, rng):
+        from finalproject_losslessimagecompression_tpu.models.twolevel import (
+            TwoLevelCfg,
+            TwoLevelFlow,
+        )
+        from finalproject_losslessimagecompression_tpu.models.twolevel_codec import (
+            TwoLevelCodec,
+        )
+        from finalproject_losslessimagecompression_tpu.models.config import (
+            FlowCfg,
+        )
+
+        cfg = TwoLevelCfg(
+            H=16,
+            W=16,
+            C=3,
+            pad=(0, 0),
+            rough=FlowCfg.from_ref(small_flow_dict(6, 6, scale=1)),
+            fine=FlowCfg.from_ref(small_flow_dict(8, 8, scale=2)),
+        )
+        with pytest.raises(NotImplementedError):
+            TwoLevelCodec(TwoLevelFlow(cfg))
+
+
 class TestFinetuner:
     def test_measure_and_tune(self, tmp_path):
         from finalproject_losslessimagecompression_tpu.train import Finetuner
