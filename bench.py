@@ -138,12 +138,14 @@ def bench_codec_only(n_symbols: int, iters: int):
     return host_rate, dev_rate, (v, means, scales)
 
 
-def bench_native_baseline(v, means, scales):
-    """Reference-design baseline: single-threaded C++ serial rANS."""
+def bench_native_baseline(v, means, scales, max_n: int = 300000):
+    """Reference-design baseline: single-threaded C++ serial rANS
+    (measured on a slice and reported per-symbol)."""
     from finalproject_losslessimagecompression_tpu import native
 
     if not native.available():
         return None
+    v, means, scales = v[:max_n], means[:max_n], scales[:max_n]
     t0 = time.time()
     state, words = native.encode_single(v, means, scales)
     st2, dec = native.decode_single(
@@ -178,7 +180,7 @@ def main():
                     help="ImageNet64-class model (long compile)")
     ap.add_argument("--quick", action="store_true",
                     help="alias for the default small model")
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -188,7 +190,7 @@ def main():
     imgs_per_s, exact, bpd = bench_e2e(
         cfg, model, params, args.batch, args.iters
     )
-    n_sym = 8 * 64 * 64 * 3
+    n_sym = 96 * 64 * 64 * 3  # production-scale message (~1.2M symbols)
     sym_per_s, dev_sym_per_s, (v, m, s) = bench_codec_only(n_sym, args.iters)
     base = bench_native_baseline(v, m, s)
     vs_baseline = (dev_sym_per_s / base) if base else None
