@@ -65,7 +65,8 @@ def make_train_step(model: IDFlow, optimizer, conditional: bool = False,
         return params, opt_state, loss, aux
 
     if mesh is None:
-        return jax.jit(_step), jax.jit(loss_fn)
+        # donate params/opt_state: the updated trees reuse the old buffers
+        return jax.jit(_step, donate_argnums=(0, 1)), jax.jit(loss_fn)
 
     from ..parallel.sharding import replicate, shard_batch
 
@@ -75,6 +76,7 @@ def make_train_step(model: IDFlow, optimizer, conditional: bool = False,
         lambda p, o, b: _step(p, o, b),
         in_shardings=(repl, repl, dsh),
         out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1),
     )
     eval_step = jax.jit(
         lambda p, b: loss_fn(p, b),
@@ -252,6 +254,21 @@ class Trainer:
     # -- main loop --------------------------------------------------------
 
     def train(self):
+        """Main loop; on any crash/interrupt a rescue checkpoint is written
+        so long runs always resume (the reference has no resume at all,
+        trainer.py:216-217)."""
+        try:
+            self._train_loop()
+        except BaseException:
+            try:
+                self.save(self.save_path + ".rescue")
+                print(f"rescue checkpoint: {self.save_path}.rescue "
+                      f"(step {self.step})")
+            except Exception:
+                pass
+            raise
+
+    def _train_loop(self):
         log = math.log(2.0)
         while self.step < self.max_step:
             self.step += 1
