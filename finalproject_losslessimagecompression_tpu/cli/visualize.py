@@ -16,7 +16,6 @@ train.model (with load_path), train.test_dataloader, output dir.
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ decoded after it (reference never implemented this; flows.py:177-181 stubs).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List, Sequence
 
 import jax

@@ -23,7 +23,6 @@ import struct
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .interleaved import EncodedStreams, _plan_steps

@@ -16,7 +16,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from .cdf import GRID, NBINS, PRECISION_BITS, cdf_bits_np, lower_bin
+from .cdf import NBINS, PRECISION_BITS, cdf_bits_np, lower_bin
 
 RANS_L = 1 << 32  # lower bound of the renormalization interval
 _MASK32 = (1 << 32) - 1

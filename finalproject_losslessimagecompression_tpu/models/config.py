@@ -9,7 +9,7 @@ frozen/hashable, which keeps flax module attributes jit-static-safe.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclass(frozen=True)

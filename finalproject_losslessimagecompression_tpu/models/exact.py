@@ -31,14 +31,12 @@ round trip; the level path costs ~4 dispatches per level per direction.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codec.coder import decode_tensor, encode_tensor
 from ..ops.reshape import depth_to_space, space_to_depth
 from .config import level_plans
 from .idflow import IDFlow, flow_permutations, fold_batch, unfold_batch

@@ -20,16 +20,15 @@ grid-exact adds, which XLA maps onto MXU + VPU with full fusion.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.dlogistic import dlogistic_log_prob
 from ..ops.reshape import depth_to_space, space_to_depth
 from ..ops.rounding import round_to_grid
-from .config import FlowCfg, LevelPlan, latent_shapes, level_plans
+from .config import FlowCfg, latent_shapes, level_plans
 from .invertible import AdditiveCoupling, Prior, inverse_permutation, permutation
 
 

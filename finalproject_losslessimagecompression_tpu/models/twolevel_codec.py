@@ -19,14 +19,11 @@ from __future__ import annotations
 from typing import List, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
-from ..ops.reshape import patch_merge, patch_split
-from ..ops.rounding import round_to_grid
+from ..ops.reshape import patch_merge
 from .exact import FlowCodec
 from .idflow import IDFlow
-from .twolevel import TwoLevelCfg, TwoLevelFlow
+from .twolevel import TwoLevelFlow
 
 
 class TwoLevelCodec:

@@ -21,13 +21,13 @@ every host computes the identical reinit).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..registry import DISTRIBUTIONS, ENDECODERS
+from ..registry import ENDECODERS
 from .layers import ResBlock
 
 

@@ -15,7 +15,6 @@ forward/backward are self-consistent which is all the flow contract needs.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 
 def space_to_depth(x, scale: int = 2):

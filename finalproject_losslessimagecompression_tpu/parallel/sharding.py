@@ -14,9 +14,6 @@ that exist are batch and spatial tiles):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -15,8 +15,6 @@ host: psum the counts, then every host applies the same pure reinit.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

@@ -21,7 +21,6 @@ from ..models.idflow import IDFlow, log_likelihood
 from ..registry import DATALOADERS, TRAINERS, build
 from .checkpoint import load_raw
 from .metrics import MetricsWriter
-from .optim import build_optimizer
 
 LOG2 = math.log(2.0)
 

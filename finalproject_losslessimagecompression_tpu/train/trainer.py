@@ -9,8 +9,6 @@ trainer.py:216-217).
 from __future__ import annotations
 
 import math
-import time
-from functools import partial
 from typing import Optional
 
 import jax
