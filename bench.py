@@ -76,13 +76,28 @@ def bench_e2e(cfg, model, params, batch: int, iters: int):
     exact = bool(np.array_equal(np.asarray(rec), np.asarray(x)))
     bpd = codec.real_bpd(blobs, info)
 
+    # analytic bpd for the codec-overhead gap
+    import math
+
+    from finalproject_losslessimagecompression_tpu.models.idflow import (
+        log_likelihood,
+    )
+
+    @jax.jit
+    def _loss(params, batch):
+        latents, means, logscales = model.apply(params, batch)
+        lp, _ = log_likelihood(cfg, latents, means, logscales)
+        return -jnp.mean(lp)
+
+    analytic_bpd = float(_loss(params, x)) / math.log(2.0)
+
     t0 = time.time()
     for _ in range(iters):
         blobs, info = codec.compress(params, x)
         rec = codec.decompress(params, blobs, info)
     jax.block_until_ready(rec)
     dt = (time.time() - t0) / iters
-    return batch / dt, exact, bpd
+    return batch / dt, exact, bpd, analytic_bpd
 
 
 def bench_codec_only(n_symbols: int, iters: int):
@@ -187,7 +202,7 @@ def main():
     platform = jax.devices()[0].platform
 
     cfg, model, params = build_model(not args.full)
-    imgs_per_s, exact, bpd = bench_e2e(
+    imgs_per_s, exact, bpd, analytic_bpd = bench_e2e(
         cfg, model, params, args.batch, args.iters
     )
     n_sym = 96 * 64 * 64 * 3  # production-scale message (~1.2M symbols)
@@ -202,6 +217,7 @@ def main():
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "bit_exact": exact,
         "real_bpd": round(bpd, 4),
+        "analytic_bpd": round(analytic_bpd, 4),
         "codec_sym_per_s": round(sym_per_s, 1),
         "codec_device_sym_per_s": round(dev_sym_per_s, 1),
         "native_baseline_sym_per_s": round(base, 1) if base else None,

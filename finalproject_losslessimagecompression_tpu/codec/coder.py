@@ -41,18 +41,20 @@ def _prep_scale(logscale):
 
 
 @jax.jit
-def _finish_decode(vals, hi, lo, shaped_like):
+def _finish_decode(vals, hi, lo, shaped_like, expect_lo=None):
+    expect = jnp.uint32(0) if expect_lo is None else expect_lo
     ok = jnp.logical_and(jnp.all(hi == jnp.uint32(1)),
-                         jnp.all(lo == jnp.uint32(0)))
+                         jnp.all(lo == expect))
     x = (vals.astype(jnp.float32) / 256.0).reshape(shaped_like.shape)
     return x, ok
 
 
-def encode_tensor_deferred(latent, mean, logscale, num_streams: int = 4096):
+def encode_tensor_deferred(latent, mean, logscale, num_streams: int = 4096,
+                           seeds=None):
     """Dispatch an encode without any host sync; pack later with
     container.pack_streams_many to amortize the sync."""
     v, scale = _prep_symbols(latent, logscale)
-    return interleaved_encode(v, mean, scale, num_streams)
+    return interleaved_encode(v, mean, scale, num_streams, seeds)
 
 
 def encode_tensor(latent, mean, logscale, num_streams: int = 4096) -> bytes:
@@ -62,11 +64,10 @@ def encode_tensor(latent, mean, logscale, num_streams: int = 4096) -> bytes:
     )
 
 
-def decode_tensor_deferred(blob: bytes, mean, logscale):
-    """Decode without a host sync: returns (x, ok) device values; the
-    caller aggregates `ok` flags and checks once."""
+def decode_streams_deferred(enc, mean, logscale, seeds=None):
+    """Decode unpacked streams without a host sync; see
+    decode_tensor_deferred."""
     scale = _prep_scale(logscale)
-    enc = unpack_streams(blob)
     vals, hi, lo = interleaved_decode(enc, mean, scale)
     if enc.oow_count:
         # patch escaped out-of-window symbols with their true values
@@ -74,7 +75,15 @@ def decode_tensor_deferred(blob: bytes, mean, logscale):
         vals = vals.at[jnp.asarray(enc.oow_idx, jnp.int32)].set(
             jnp.asarray(enc.oow_vals, jnp.int32)
         )
-    return _finish_decode(vals, hi, lo, mean)
+    return _finish_decode(vals, hi, lo, mean, seeds)
+
+
+def decode_tensor_deferred(blob: bytes, mean, logscale, seeds=None):
+    """Decode without a host sync: returns (x, ok) device values; the
+    caller aggregates `ok` flags and checks once.  `seeds` must match the
+    encode-side bits-back seeds (final states verify to 2^32 | seed)."""
+    return decode_streams_deferred(unpack_streams(blob), mean, logscale,
+                                   seeds)
 
 
 def decode_tensor(blob: bytes, mean, logscale):

@@ -203,7 +203,7 @@ def _layout(arr, n, S, k, pad_const):
 
 
 def _encode_core(values, means, scales, num_streams: int, steps: int,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, seeds=None):
     """Whole encode (layout + CDF prepass + state loop + compaction) as ONE
     program.  Everything lives in a single jit: under remote-dispatch
     runtimes each eager op costs a host round trip that dwarfs the compute.
@@ -213,6 +213,13 @@ def _encode_core(values, means, scales, num_streams: int, steps: int,
     a lax.scan or as the Pallas kernel (pallas_rans.py) -- both consume the
     same precomputed integer (cdf, freq) tiles and produce bit-identical
     streams.  values/means/scales arrive flat [n]; n <= steps*num_streams.
+
+    `seeds` ([S] uint32, optional) implements bits-back stream
+    initialization: states start at 2^32 | seed instead of 2^32, so the
+    ~32-bit per-stream ramp-up carries real payload instead of zeros.  The
+    decoder must derive the identical seeds from bytes it already has (see
+    FlowCodec: level l seeds from level l-1's word buffer) and verify the
+    final decode states equal 2^32 | seed.
     """
     S, k = num_streams, steps
     n = int(np.prod(values.shape))
@@ -233,14 +240,18 @@ def _encode_core(values, means, scales, num_streams: int, steps: int,
     c_start = _cdf_u32(v_clamped - 1, m, s, lower)
     f_all = _cdf_u32(v_clamped, m, s, lower) - c_start
 
-    if use_pallas:
+    lo0 = (
+        jnp.zeros((S,), _U)
+        if seeds is None
+        else jnp.asarray(seeds, _U).reshape(S)
+    )
+    if use_pallas and seeds is None:
         from .pallas_rans import pallas_encode_core
 
         words, flags_i, hi, lo = pallas_encode_core(c_start, f_all, S, k)
         flags = flags_i != 0
     else:
-        hi0 = jnp.ones((S,), _U)  # initial state = 2^32 (coder.py:18)
-        lo0 = jnp.zeros((S,), _U)
+        hi0 = jnp.ones((S,), _U)  # initial state = 2^32 | seed (coder.py:18)
         (hi, lo), (words_t, emit_t) = jax.lax.scan(
             _encode_step, (hi0, lo0), (c_start, f_all)
         )
@@ -298,8 +309,25 @@ def pick_num_streams(n: int, requested: int = 4096) -> int:
     return int(min(requested, max(8, n // 64)))
 
 
+@partial(jax.jit, static_argnames=("S",))
+def _make_seeds_jit(words, num_words, S):
+    take = min(S, words.shape[0])
+    w = jnp.zeros((S,), _U).at[:take].set(words[:take])
+    idx = jnp.arange(S, dtype=jnp.int32)
+    return jnp.where(idx < num_words, w, _U(0))
+
+
+def make_seeds(words, num_words, S: int):
+    """Bits-back seeds for a follow-up container: the first S words of an
+    already-encoded buffer (zero-padded past num_words).  Works for device
+    or host arrays; safe when the source buffer is shorter than S."""
+    return _make_seeds_jit(
+        jnp.asarray(words), jnp.asarray(num_words, jnp.int32), S=S
+    )
+
+
 def interleaved_encode(
-    values, means, scales, num_streams: int = 4096
+    values, means, scales, num_streams: int = 4096, seeds=None
 ) -> EncodedStreams:
     """Encode integer-bin symbols (v = round(x*256)) with S parallel streams.
 
@@ -309,17 +337,17 @@ def interleaved_encode(
     n = int(np.prod(np.shape(values)))
     S = pick_num_streams(n, num_streams)
     k = _plan_steps(n, S)
-    use_pallas = _pallas_ok(S, k)
+    use_pallas = _pallas_ok(S, k) and seeds is None
     try:
         buf, total, hi, lo, oow_count, oow, v_orig = _encode_scan(
-            values, means, scales, S, k, use_pallas
+            values, means, scales, S, k, use_pallas, seeds
         )
     except Exception:
         if not use_pallas:
             raise
         _disable_pallas()  # Mosaic rejected the kernel; fall back for good
         buf, total, hi, lo, oow_count, oow, v_orig = _encode_scan(
-            values, means, scales, S, k, False
+            values, means, scales, S, k, False, seeds
         )
     return EncodedStreams(
         words=buf,

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..codec.interleaved import make_seeds
 from ..ops.reshape import depth_to_space, space_to_depth
 from .config import level_plans
 from .idflow import IDFlow, flow_permutations, fold_batch, unfold_batch
@@ -149,6 +150,7 @@ class FlowCodec:
             )
             fold = 1 if cfg.batch_squeeze else batch
             outs = []
+            seeds = None
             for level in range(cfg.nsplit):
                 z, keep = _level_fwd(params, x, level)
                 last = level == cfg.nsplit - 1
@@ -165,11 +167,24 @@ class FlowCodec:
                 ].h * self.plans[level].w
                 S = self._pick(n, self.num_streams)
                 k = self._plan_steps(n, S)
-                outs.append(
-                    _encode_core(
-                        v, mean.reshape(-1), scale, S, k, False
-                    )
+                o = _encode_core(
+                    v, mean.reshape(-1), scale, S, k, False, seeds
                 )
+                outs.append(o)
+                if not last:
+                    S_next = self._pick(
+                        fold
+                        * self.plans[level + 1].z_ch
+                        * self.plans[level + 1].h
+                        * self.plans[level + 1].w,
+                        self.num_streams,
+                    )
+                    take = min(S_next, o[0].shape[0])
+                    w = jnp.zeros((S_next,), jnp.uint32).at[:take].set(
+                        o[0][:take]
+                    )
+                    idx = jnp.arange(S_next, dtype=jnp.int32)
+                    seeds = jnp.where(idx < o[1], w, jnp.uint32(0))
                 x = keep
             return outs
 
@@ -206,10 +221,22 @@ class FlowCodec:
                     mean.reshape(-1), jnp.exp(logscale).reshape(-1),
                     S, k,
                 )
+                if level >= 1:
+                    # seeds came from container level-1 = bufs[i + 1]
+                    take = min(S, bufs[i + 1].shape[0])
+                    w = jnp.zeros((S,), jnp.uint32).at[:take].set(
+                        bufs[i + 1][:take]
+                    )
+                    idx = jnp.arange(S, dtype=jnp.int32)
+                    expect = jnp.where(
+                        idx < num_words[i + 1], w, jnp.uint32(0)
+                    )
+                else:
+                    expect = jnp.uint32(0)
                 oks.append(
                     jnp.logical_and(
                         jnp.all(hi2 == jnp.uint32(1)),
-                        jnp.all(lo2 == jnp.uint32(0)),
+                        jnp.all(lo2 == expect),
                     )
                 )
                 vals = vals.at[oow_idx[i]].set(oow_vals[i], mode="drop")
@@ -304,18 +331,35 @@ class FlowCodec:
         if cfg.batch_squeeze:
             x = self._fold(x, cfg.batch_squeeze)
         conds = self._cond(params, cond) if cfg.conditional else None
+        fold = 1 if cfg.batch_squeeze else batch
         encs = []
+        seeds = None
         for level in range(cfg.nsplit):
             z, keep = self._run_level_fwd(params, x, level)
             ref = z if keep is None else keep
             mean, logscale = self._prior(
                 params, ref, level, conds[level] if conds else None
             )
-            encs.append(
-                encode_tensor_deferred(z, mean, logscale, self.num_streams)
+            enc = encode_tensor_deferred(
+                z, mean, logscale, self.num_streams, seeds
             )
+            encs.append(enc)
+            if level + 1 < cfg.nsplit:
+                # bits-back: seed the next level's streams from this
+                # level's word buffer (the decoder has those bytes before
+                # decoding the next level), eliminating its ~32-bit
+                # per-stream state ramp
+                seeds = make_seeds(
+                    enc.words, enc.num_words, self._level_S(level + 1, fold)
+                )
             x = keep
         return pack_streams_many(encs), {"batch": batch}
+
+    def _level_S(self, level: int, fold: int) -> int:
+        from ..codec.interleaved import pick_num_streams
+
+        p = self.plans[level]
+        return pick_num_streams(fold * p.z_ch * p.h * p.w, self.num_streams)
 
     def decompress(self, params, blobs: Sequence[bytes], info: dict, cond=None):
         """Decode containers back to the exact input batch."""
@@ -355,9 +399,11 @@ class FlowCodec:
                 return x
             # too many outliers for the fused path: fall through to the
             # level-granular path below (rare)
-        from ..codec.coder import decode_tensor_deferred
+        from ..codec.coder import decode_streams_deferred
+        from ..codec.container import unpack_streams as _unpack
 
         conds = self._cond(params, cond) if cfg.conditional else None
+        unpacked = [_unpack(b) for b in blobs]
         x = None
         oks = []
         for level in range(cfg.nsplit - 1, -1, -1):
@@ -370,7 +416,15 @@ class FlowCodec:
             mean, logscale = self._prior(
                 params, ref, level, conds[level] if conds else None
             )
-            z, ok = decode_tensor_deferred(blobs[level], mean, logscale)
+            seeds = None
+            if level >= 1:
+                prev = unpacked[level - 1]
+                seeds = make_seeds(
+                    prev.words, prev.num_words, self._level_S(level, fold)
+                )
+            z, ok = decode_streams_deferred(
+                unpacked[level], mean, logscale, seeds
+            )
             oks.append(ok)
             x = self._run_level_inv(params, z, None if last else x, level)
         if cfg.batch_squeeze:

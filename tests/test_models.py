@@ -155,12 +155,27 @@ class TestFlowCodec:
         x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
         latents, means, logscales = model.apply(params, x)
         blobs, info = codec.compress(params, x)
-        from finalproject_losslessimagecompression_tpu.codec import (
-            decode_tensor,
+        from finalproject_losslessimagecompression_tpu.codec.coder import (
+            decode_streams_deferred,
+        )
+        from finalproject_losslessimagecompression_tpu.codec.container import (
+            unpack_streams,
+        )
+        from finalproject_losslessimagecompression_tpu.codec.interleaved import (
+            make_seeds,
         )
 
-        for blob, z, m, ls in zip(blobs, latents, means, logscales):
-            dec = decode_tensor(blob, m, ls)
+        unpacked = [unpack_streams(b) for b in blobs]
+        for level, (z, m, ls) in enumerate(zip(latents, means, logscales)):
+            # levels >= 1 are bits-back seeded from the previous level's words
+            seeds = None
+            if level >= 1:
+                prev = unpacked[level - 1]
+                seeds = make_seeds(
+                    prev.words, prev.num_words, codec._level_S(level, 2)
+                )
+            dec, ok = decode_streams_deferred(unpacked[level], m, ls, seeds)
+            assert bool(jax.device_get(ok))
             assert np.array_equal(np.asarray(dec), np.asarray(z))
 
 
