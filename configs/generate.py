@@ -75,15 +75,16 @@ def tail(tag, max_step=1000000, spe=1000, ev=5000, sv=20000):
                 writer_path=f"./logs/log_{tag}")
 
 
-def vqvae(checkpoint=None):
+def vqvae(checkpoint=None, reinit=True, dist="BinomialDistribution"):
     d = dict(name="VQVAE", channel=3, embed_num=8192, embed_dim=512,
              encoder=dict(name="VQEncoder", block_num=8,
                           block=dict(name="ResBlock", batch_norm=False)),
              decoder=dict(name="VQDecoder", block_num=8,
                           block=dict(name="ResBlock", batch_norm=False)),
-             distribution=dict(name="BinomialDistribution"),
-             vectorquantizer=dict(reinit_interval=1000, threshold=0.1),
+             distribution=dict(name=dist),
              hidden_dims=[128, 256, 512], batch_norm=False)
+    if reinit:
+        d["vectorquantizer"] = dict(reinit_interval=1000, threshold=0.1)
     if checkpoint:
         d["checkpoint"] = checkpoint
     return d
@@ -99,6 +100,24 @@ CONFIGS["config1"] = dict(train=dict(
     train_dataloader=celeba_loader(4, True),
     test_dataloader=celeba_loader(4, False),
     **tail("celeba_216_184")))
+
+# -- flows on CelebA resized 128x96, nsplit=4 (ref: config2.yaml)
+CONFIGS["config2"] = dict(train=dict(
+    model=flow(H=128, W=96, nsplit=4, couple_g=512, couple_d=8,
+               prior_g=256, prior_d=8, act="ReLU"),
+    test_coding=True,
+    train_dataloader=celeba_loader(8, True, pad=None, resize=(128, 96)),
+    test_dataloader=celeba_loader(8, False, pad=None, resize=(128, 96)),
+    **tail("celeba_128_96", ev=10000, sv=25000)))
+
+# -- config1 variant with batch_squeeze=4 (ref: config11.yaml)
+CONFIGS["config11"] = dict(train=dict(
+    model=flow(H=216, W=184, couple_g=384, couple_d=8, prior_g=512,
+               prior_d=12, act="LeakyReLU", batch_squeeze=4),
+    test_coding=False,
+    train_dataloader=celeba_loader(4, True),
+    test_dataloader=celeba_loader(4, False),
+    **tail("celeba_216_184_bsq4")))
 
 # -- flows on ImageNet64 (ref: imagenet64.yaml)
 CONFIGS["imagenet64"] = dict(train=dict(
@@ -122,22 +141,34 @@ CONFIGS["config_twolevel"] = dict(train=dict(
     test_dataloader=celeba_loader(4, False, pad=None),
     **tail("twolevel_celeba")))
 
-# -- VQ-VAE pretraining (ref: vqvae_for_celeba_full_reinit.yaml)
-CONFIGS["vqvae_for_celeba_full_reinit"] = dict(train=dict(
-    trainer="VQVAETrainer",
-    model=vqvae(),
-    train_dataloader=celeba_loader(32, True),
-    test_dataloader=celeba_loader(32, False),
-    train_args=dict(alpha=30.0, beta=0.25, gamma=1.0),
-    **tail("vqvae_celeba_reinit")))
+# -- VQ-VAE pretraining.  The reference trains these with Adam 1e-4 and
+#    loss weights alpha=1.0 beta=0.1 gamma=0.25
+#    (ref: vqvae_for_celeba_full*.yaml train_args / optimizer)
+def _vqvae_train(tag, model, loader_fn):
+    t = tail(tag)
+    t["optimizer"] = dict(name="Adam", lr=0.0001)
+    return dict(train=dict(
+        trainer="VQVAETrainer",
+        model=model,
+        train_dataloader=loader_fn(32, True),
+        test_dataloader=loader_fn(32, False),
+        train_args=dict(alpha=1.0, beta=0.1, gamma=0.25),
+        **t))
 
-CONFIGS["vqvae_for_imagenet64_reinit"] = dict(train=dict(
-    trainer="VQVAETrainer",
-    model=vqvae(),
-    train_dataloader=in64_loader(32, True),
-    test_dataloader=in64_loader(32, False),
-    train_args=dict(alpha=30.0, beta=0.25, gamma=1.0),
-    **tail("vqvae_imagenet64_reinit")))
+
+# (ref: vqvae_for_celeba_full.yaml -- no dead-code reinit)
+CONFIGS["vqvae_for_celeba_full"] = _vqvae_train(
+    "vqvae_celeba", vqvae(reinit=False), celeba_loader)
+# (ref: vqvae_for_celeba_full_reinit.yaml)
+CONFIGS["vqvae_for_celeba_full_reinit"] = _vqvae_train(
+    "vqvae_celeba_reinit", vqvae(), celeba_loader)
+# (ref: vqvae_for_celeba_full_reinit_normal.yaml -- N(y,1) recon loss)
+CONFIGS["vqvae_for_celeba_full_reinit_normal"] = _vqvae_train(
+    "vqvae_celeba_reinit_normal",
+    vqvae(dist="UnitGaussianDistribution"), celeba_loader)
+# (ref: vqvae_for_imagenet64_reinit.yaml)
+CONFIGS["vqvae_for_imagenet64_reinit"] = _vqvae_train(
+    "vqvae_imagenet64_reinit", vqvae(), in64_loader)
 
 # -- residual pipelines (ref: resflows.yaml, resflow-patches-vqvae.yaml,
 #    resflows_smallpatch_split.yaml, resflow-cond-imagenet64.yaml)
@@ -163,6 +194,76 @@ CONFIGS["resflow-patches-vqvae"] = dict(train=dict(
     train_dataloader=celeba_loader(1, True),
     test_dataloader=celeba_loader(1, False),
     **tail("resflows_cond_27_23")))
+
+# -- residual flows on the FULL image, no patching (ref: resflow-direct.yaml)
+CONFIGS["resflow-direct"] = dict(train=dict(
+    trainer="ResidualTrainer",
+    flows=flow(H=216, W=184, nflows=8, nsplit=3, couple_g=384, couple_d=8,
+               prior_g=704, prior_d=12, act="LeakyReLU"),
+    vqvae=vqvae("./logs/vqvae_celeba_reinit.ckpt"),
+    input_size=[216, 184],
+    patch_batch_size=0,
+    train_dataloader=celeba_loader(3, True),
+    test_dataloader=celeba_loader(3, False),
+    **tail("resflows_direct_prior704")))
+
+# -- conditional residual flows, full image, strided-conv conditioning
+#    (ref: resflow-direct-cond.yaml; resflow-direct-cond-1.yaml is an
+#    identical duplicate in the reference and is covered by this config)
+CONFIGS["resflow-direct-cond"] = dict(train=dict(
+    trainer="ResidualTrainer",
+    flows=flow(name="ConditionalFlows", H=216, W=184, nflows=8, nsplit=3,
+               couple_g=384, couple_d=8, prior_g=512, prior_d=12,
+               act="LeakyReLU", conv_for_cond=True),
+    vqvae=vqvae("./logs/vqvae_celeba_reinit.ckpt"),
+    input_size=[216, 184],
+    patch_batch_size=0,
+    train_dataloader=celeba_loader(4, True),
+    test_dataloader=celeba_loader(4, False),
+    **tail("resflows_direct_cond_conv")))
+
+# -- patch flows trained directly on image patches, bypassing the VQ-VAE
+#    residual (ref: resflow-patches-novqvae.yaml, nouse_vqvae: True)
+CONFIGS["resflow-patches-novqvae"] = dict(train=dict(
+    trainer="ResidualTrainer",
+    flows=flow(H=27, W=23, nflows=8, nsplit=1, couple_g=384, couple_d=12,
+               prior_g=512, prior_d=12, act="LeakyReLU", scale=1),
+    nouse_vqvae=True,
+    vqvae=vqvae("./logs/vqvae_celeba_reinit.ckpt"),
+    input_size=[216, 184],
+    patch_batch_size=0,
+    train_dataloader=celeba_loader(1, True),
+    test_dataloader=celeba_loader(1, False),
+    **tail("resflows_novqvae_27_23")))
+
+# -- unconditional flows on VQ residual patches
+#    (ref: resflow-patches-vqvae-nocond.yaml)
+CONFIGS["resflow-patches-vqvae-nocond"] = dict(train=dict(
+    trainer="ResidualTrainer",
+    flows=flow(H=27, W=23, nflows=8, nsplit=1, couple_g=384, couple_d=12,
+               prior_g=512, prior_d=12, act="LeakyReLU", scale=1),
+    vqvae=vqvae("./logs/vqvae_celeba_reinit.ckpt"),
+    input_size=[216, 184],
+    patch_batch_size=0,
+    train_dataloader=celeba_loader(1, True),
+    test_dataloader=celeba_loader(1, False),
+    **tail("resflows_no_cond_27_23")))
+
+# -- 8x8 patches, single split (ref: resflows_smallpatch.yaml)
+CONFIGS["resflows_smallpatch"] = dict(train=dict(
+    trainer="ResidualTrainer",
+    flows=flow(H=8, W=8, nflows=12, nsplit=1, couple_g=512, couple_d=12,
+               prior_g=256, prior_d=4, act="ReLU"),
+    vqvae=vqvae("./logs/vqvae_celeba_reinit.ckpt"),
+    input_size=[216, 184],
+    patch_batch_size=256,
+    train_dataloader=celeba_loader(16, True),
+    test_dataloader=celeba_loader(1, False),
+    scheduler=dict(name="WarmUpScheduler", warmup=10, beta=0.999),
+    optimizer=opt(), max_step=1000000, step_per_epoch=25,
+    evaluate_interval=250, save_interval=1000,
+    save_path="./logs/resflows_smallpatch.ckpt",
+    writer_path="./logs/log_resflows_smallpatch"))
 
 CONFIGS["resflows_smallpatch_split"] = dict(train=dict(
     trainer="ResidualTrainer",
@@ -204,6 +305,14 @@ CONFIGS["vis_config1"] = dict(train=dict(
                **flow(H=216, W=184, couple_g=384, couple_d=8, prior_g=512,
                       prior_d=12, act="LeakyReLU")),
     test_dataloader=celeba_loader(4, False),
+))
+
+# -- visualization on ImageNet64 (ref: vis_config_imagenet64.yaml)
+CONFIGS["vis_config_imagenet64"] = dict(train=dict(
+    model=dict(load_path="./logs/imagenet64.ckpt",
+               **flow(H=64, W=64, couple_g=512, couple_d=12, prior_g=512,
+                      prior_d=12, act="ReLU")),
+    test_dataloader=in64_loader(4, False),
 ))
 
 # -- hermetic synthetic smokes (no reference counterpart; CPU-runnable)

@@ -22,6 +22,7 @@ from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .container import pack_streams, unpack_streams
 from .interleaved import interleaved_decode, interleaved_encode
@@ -67,6 +68,11 @@ def encode_tensor(latent, mean, logscale, num_streams: int = 4096) -> bytes:
 def decode_streams_deferred(enc, mean, logscale, seeds=None):
     """Decode unpacked streams without a host sync; see
     decode_tensor_deferred."""
+    if enc.n != np.size(mean):
+        raise ValueError(
+            f"container symbol count {enc.n} does not match the "
+            f"parameter tensor size {np.size(mean)}"
+        )
     scale = _prep_scale(logscale)
     vals, hi, lo = interleaved_decode(enc, mean, scale)
     if enc.oow_count:

@@ -110,10 +110,26 @@ def _pack_fetched(
 
 
 def unpack_streams(blob: bytes) -> EncodedStreams:
-    """Parse a container back into device-side streams ready for decode."""
+    """Parse a container back into device-side streams ready for decode.
+
+    Every header field is validated against the blob's actual size before
+    any allocation, so corrupted/truncated containers raise ValueError
+    instead of crashing (or allocating) inside the decoder."""
+    if len(blob) < _HEADER.size + 4:
+        raise ValueError("corrupt container: truncated header")
     magic, n, S, state0, W = _HEADER.unpack_from(blob, 0)
     if magic != MAGIC:
         raise ValueError("bad container magic")
+    avail_words = (len(blob) - _HEADER.size - 4) // 4
+    if W > avail_words:
+        raise ValueError("corrupt container: word count exceeds payload")
+    if not (1 <= S <= max(8, n)):
+        raise ValueError("corrupt container: implausible stream count")
+    # n bounds the decode-side allocation (k*S >= n words); cap it so a
+    # corrupted symbol count cannot trigger a giant allocation.  A valid
+    # container has at most ~32 bits/symbol of payload.
+    if n > 64 * (len(blob) + (1 << 16)):
+        raise ValueError("corrupt container: implausible symbol count")
     words = np.frombuffer(blob, dtype="<u4", offset=_HEADER.size, count=W)
     words = [int(w) for w in words]
     off = _HEADER.size + 4 * W
@@ -121,27 +137,34 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
     off += 4
     oow_idx = oow_vals = None
     if oow_count:
+        if off + 8 * oow_count > len(blob):
+            raise ValueError("corrupt container: outlier block truncated")
         oow_idx = np.frombuffer(blob, "<u4", offset=off, count=oow_count)
         off += 4 * oow_count
         oow_vals = np.frombuffer(blob, "<i4", offset=off, count=oow_count)
 
     states = [0] * S
-    for j in range(S - 1, 0, -1):
-        state0, nb33 = _uniform_pop(state0, words, 5)
-        nb = nb33 + 33
-        low = nb - 48
-        sj = 0
-        if low > 0:
-            state0, top = _uniform_pop(state0, words, low)
-            sj = top << 48
-        state0, c2 = _uniform_pop(state0, words, 16)
-        state0, c1 = _uniform_pop(state0, words, 16)
-        state0, c0 = _uniform_pop(state0, words, 16)
-        states[j] = sj | (c2 << 32) | (c1 << 16) | c0
+    try:
+        for j in range(S - 1, 0, -1):
+            state0, nb33 = _uniform_pop(state0, words, 5)
+            nb = nb33 + 33
+            low = nb - 48
+            sj = 0
+            if low > 0:
+                state0, top = _uniform_pop(state0, words, low)
+                sj = top << 48
+            state0, c2 = _uniform_pop(state0, words, 16)
+            state0, c1 = _uniform_pop(state0, words, 16)
+            state0, c0 = _uniform_pop(state0, words, 16)
+            states[j] = sj | (c2 << 32) | (c1 << 16) | c0
+    except IndexError:
+        raise ValueError("corrupt container: state chain underflow") from None
     states[0] = state0
 
     k = _plan_steps(n, S)
     cap = k * S
+    if len(words) > cap:
+        raise ValueError("corrupt container: more words than stream capacity")
     buf = np.zeros(cap, np.uint32)
     buf[: len(words)] = np.asarray(words, np.uint32)
     hi = np.asarray([s >> 32 for s in states], np.uint32)
