@@ -82,14 +82,31 @@ def _pack_fetched(
     S = enc.num_streams
     hi = np.asarray(hi_a, np.uint64)
     lo = np.asarray(lo_a, np.uint64)
-    states = [(int(hi[j]) << 32) | int(lo[j]) for j in range(S)]
-    words = [int(w) for w in np.asarray(words_a[:num_words], np.uint32)]
 
     # Variable-length state chaining: each final state is in [2^32, 2^64),
     # so its bit length nb is in [33, 64].  Pushing nb bits + a 5-bit
     # (nb - 33) header costs ~log2(state) + 5 bits per stream instead of a
     # fixed 64 -- the flush waste drops from ~32 to ~5 bits/stream, which
     # is what makes wide stream counts (high VPU occupancy) affordable.
+    #
+    # The chain is a serial ~5S-step loop; the C++ port (bit-identical)
+    # packs ~1000x faster than the Python fallback below, which matters:
+    # at S=4096 the Python loop costs more than the whole device encode.
+    from .. import native
+
+    if native.available():
+        states = (hi << np.uint64(32)) | lo
+        buf = np.empty(num_words + 5 * S + 8, np.uint32)
+        buf[:num_words] = np.asarray(words_a[:num_words], np.uint32)
+        state0, nw = native.chain_pack(states, buf, num_words)
+        out = bytearray(_HEADER.pack(MAGIC, enc.n, S, state0, nw))
+        out += buf[:nw].tobytes()
+        out += struct.pack("<I", oow_count)
+        out += oow_blob
+        return bytes(out)
+
+    states = [(int(hi[j]) << 32) | int(lo[j]) for j in range(S)]
+    words = [int(w) for w in np.asarray(words_a[:num_words], np.uint32)]
     state0 = states[0]
     for j in range(1, S):
         sj = states[j]
@@ -130,8 +147,7 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
     # container has at most ~32 bits/symbol of payload.
     if n > 64 * (len(blob) + (1 << 16)):
         raise ValueError("corrupt container: implausible symbol count")
-    words = np.frombuffer(blob, dtype="<u4", offset=_HEADER.size, count=W)
-    words = [int(w) for w in words]
+    words_np = np.frombuffer(blob, dtype="<u4", offset=_HEADER.size, count=W)
     off = _HEADER.size + 4 * W
     (oow_count,) = struct.unpack_from("<I", blob, off)
     off += 4
@@ -143,37 +159,50 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
         off += 4 * oow_count
         oow_vals = np.frombuffer(blob, "<i4", offset=off, count=oow_count)
 
-    states = [0] * S
-    try:
-        for j in range(S - 1, 0, -1):
-            state0, nb33 = _uniform_pop(state0, words, 5)
-            nb = nb33 + 33
-            low = nb - 48
-            sj = 0
-            if low > 0:
-                state0, top = _uniform_pop(state0, words, low)
-                sj = top << 48
-            state0, c2 = _uniform_pop(state0, words, 16)
-            state0, c1 = _uniform_pop(state0, words, 16)
-            state0, c0 = _uniform_pop(state0, words, 16)
-            states[j] = sj | (c2 << 32) | (c1 << 16) | c0
-    except IndexError:
-        raise ValueError("corrupt container: state chain underflow") from None
-    states[0] = state0
+    from .. import native
+
+    if native.available():
+        states_arr, npay = native.chain_unpack(S, state0, words_np, W)
+        hi = (states_arr >> np.uint64(32)).astype(np.uint32)
+        lo = (states_arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        payload = words_np[:npay]
+    else:
+        words = [int(w) for w in words_np]
+        states = [0] * S
+        try:
+            for j in range(S - 1, 0, -1):
+                state0, nb33 = _uniform_pop(state0, words, 5)
+                nb = nb33 + 33
+                low = nb - 48
+                sj = 0
+                if low > 0:
+                    state0, top = _uniform_pop(state0, words, low)
+                    sj = top << 48
+                state0, c2 = _uniform_pop(state0, words, 16)
+                state0, c1 = _uniform_pop(state0, words, 16)
+                state0, c0 = _uniform_pop(state0, words, 16)
+                states[j] = sj | (c2 << 32) | (c1 << 16) | c0
+        except IndexError:
+            raise ValueError(
+                "corrupt container: state chain underflow"
+            ) from None
+        states[0] = state0
+        hi = np.asarray([s >> 32 for s in states], np.uint32)
+        lo = np.asarray([s & 0xFFFFFFFF for s in states], np.uint32)
+        npay = len(words)
+        payload = np.asarray(words, np.uint32)
 
     k = _plan_steps(n, S)
     cap = k * S
-    if len(words) > cap:
+    if npay > cap:
         raise ValueError("corrupt container: more words than stream capacity")
     buf = np.zeros(cap, np.uint32)
-    buf[: len(words)] = np.asarray(words, np.uint32)
-    hi = np.asarray([s >> 32 for s in states], np.uint32)
-    lo = np.asarray([s & 0xFFFFFFFF for s in states], np.uint32)
+    buf[:npay] = payload
     # arrays stay host-side (numpy); they transfer as jit-call arguments,
     # avoiding eager device_put dispatches on the decode path
     return EncodedStreams(
         words=buf,
-        num_words=len(words),
+        num_words=npay,
         state_hi=hi,
         state_lo=lo,
         n=n,

@@ -388,30 +388,43 @@ def _decode_step(carry, xs, *, buf):
     mod = lo & MASK24
     lower = _lower_bin(mean)
 
-    # 16-ary search for the smallest v with CDF(v) > mod.  Invariant: the
+    # Radix-8 search for the smallest v with CDF(v) > mod.  Invariant: the
     # anchor a satisfies CDF(a) <= mod (true initially for a = lower - 1 on
-    # any valid stream) and the answer lies in (a, a + span].  Each round
-    # evaluates 15 (resp. 7) probe points as ONE wide batched CDF call --
-    # 4 sequential transcendental groups instead of the 13 of a bitwise
-    # binary search, which matters because each step of the symbol loop is
-    # latency-bound on the VPU.
+    # any valid stream) and the answer lies in (a, a + span]; rounds narrow
+    # span 2048 -> 256 -> 32 -> 4 -> 1, each as ONE wide batched CDF call.
+    # The anchor's CDF is carried through the rounds (a gather from the
+    # probe tile instead of a fresh transcendental), and the final round's
+    # extra probe supplies CDF(v) -- so a symbol costs 1 + 7 + 7 + 7 + 4 =
+    # 26 CDF evaluations total, vs 13*2 + 2 for a bitwise binary search
+    # plus edge re-evaluation.  The CDF (one exp each) is what the decode
+    # loop spends its VPU cycles on, so fewer evals is the lever.
     a = lower - jnp.int32(1)
-    for nprobe, stride in ((15, 128), (15, 8), (7, 1)):
+    c_a = _cdf_u32(a, mean, scale, lower)
+    cds = cnt = None
+    for nprobe, stride in ((7, 256), (7, 32), (7, 4), (4, 1)):
         offs = (
             jnp.arange(1, nprobe + 1, dtype=jnp.int32)[:, None] * stride
         )  # [P, 1]
         vs = a[None, :] + offs  # [P, S]
         cds = _cdf_u32(vs, mean[None, :], scale[None, :], lower[None, :])
-        cnt = jnp.sum((cds <= mod[None, :]).astype(jnp.int32), axis=0)
+        le = cds <= mod[None, :]
+        cnt = jnp.sum(le.astype(jnp.int32), axis=0)
+        # CDF of the new anchor a + cnt*stride: the LARGEST probe with
+        # cds <= mod (or the old anchor when cnt == 0).  A masked max, not
+        # a gather -- per-lane dynamic gathers are slow on the VPU, while
+        # max(where(le, cds, 0)) is pure elementwise+reduce and exploits
+        # that CDF is monotone over the probes.
+        c_a = jnp.maximum(
+            c_a, jnp.max(jnp.where(le, cds, _U(0)), axis=0)
+        )
         a = a + cnt * stride
     v = a + jnp.int32(1)
 
-    both = _cdf_u32(
-        jnp.stack([v - 1, v]), jnp.stack([mean, mean]),
-        jnp.stack([scale, scale]), jnp.stack([lower, lower]),
-    )
-    c_lo = both[0]
-    c_hi = both[1]
+    # last round had stride 1 and 4 probes; the bracket guarantees
+    # CDF(a_old + 4) > mod so cnt <= 3, and CDF(v) is probe index cnt --
+    # the SMALLEST probe with cds > mod (masked min; gather-free)
+    c_lo = c_a
+    c_hi = jnp.min(jnp.where(le, _U(0xFFFFFFFF), cds), axis=0)
     f = c_hi - c_lo
 
     # state = (state >> 24) * f + mod - cdf

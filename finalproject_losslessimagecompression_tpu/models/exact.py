@@ -297,16 +297,11 @@ class FlowCodec:
             return self._level_inv(params, z, keep, level)
         return self._nn_level_inv(params, z, keep, level)
 
-    def compress(
-        self, params, x, cond=None
-    ) -> Tuple[List[bytes], dict]:
-        """Encode an image batch (values on the 1/256 grid) to per-level
-        rANS containers.  Returns (blobs, info) with decoder metadata.
-
-        All levels are dispatched sync-free, then packed with ONE host
-        transfer -- the device pipeline never stalls between levels."""
+    def _compress_deferred(self, params, x, cond=None):
+        """Dispatch the full encode pipeline without any host sync; returns
+        (per-level EncodedStreams, info).  Pack with
+        container.pack_streams_many to materialize bytes (one sync)."""
         from ..codec.coder import encode_tensor_deferred
-        from ..codec.container import pack_streams_many
         from ..codec.interleaved import EncodedStreams
 
         cfg = self.cfg
@@ -326,7 +321,7 @@ class FlowCodec:
                         oow_count=o[4], oow_mask=o[5], orig_values=o[6],
                     )
                 )
-            return pack_streams_many(encs), {"batch": batch}
+            return encs, {"batch": batch}
 
         if cfg.batch_squeeze:
             x = self._fold(x, cfg.batch_squeeze)
@@ -353,7 +348,40 @@ class FlowCodec:
                     enc.words, enc.num_words, self._level_S(level + 1, fold)
                 )
             x = keep
-        return pack_streams_many(encs), {"batch": batch}
+        return encs, {"batch": batch}
+
+    def compress(
+        self, params, x, cond=None
+    ) -> Tuple[List[bytes], dict]:
+        """Encode an image batch (values on the 1/256 grid) to per-level
+        rANS containers.  Returns (blobs, info) with decoder metadata.
+
+        All levels are dispatched sync-free, then packed with ONE host
+        transfer -- the device pipeline never stalls between levels."""
+        from ..codec.container import pack_streams_many
+
+        encs, info = self._compress_deferred(params, x, cond)
+        return pack_streams_many(encs), info
+
+    def compress_many(self, params, xs, conds=None):
+        """Pipelined serving encode: dispatch ALL batches' pipelines before
+        the single host sync that packs every container.  Amortizes the
+        per-sync host round-trip (dominant on remote-tunnel runtimes)
+        across the whole request queue.  Returns a list of (blobs, info)."""
+        from ..codec.container import pack_streams_many
+
+        per_batch = []
+        for i, x in enumerate(xs):
+            cond = conds[i] if conds is not None else None
+            per_batch.append(self._compress_deferred(params, x, cond))
+        flat = [e for encs, _ in per_batch for e in encs]
+        blobs = pack_streams_many(flat)  # ONE device sync for all batches
+        out = []
+        pos = 0
+        for encs, info in per_batch:
+            out.append((blobs[pos : pos + len(encs)], info))
+            pos += len(encs)
+        return out
 
     def _level_S(self, level: int, fold: int) -> int:
         from ..codec.interleaved import pick_num_streams
@@ -361,8 +389,11 @@ class FlowCodec:
         p = self.plans[level]
         return pick_num_streams(fold * p.z_ch * p.h * p.w, self.num_streams)
 
-    def decompress(self, params, blobs: Sequence[bytes], info: dict, cond=None):
-        """Decode containers back to the exact input batch."""
+    def _decompress_deferred(self, params, blobs: Sequence[bytes],
+                             info: dict, cond=None):
+        """Dispatch the full decode pipeline without the final ok-flag sync;
+        returns (x, oks) device values.  Callers aggregate oks and check
+        once (see decompress / decompress_many)."""
         cfg = self.cfg
         batch = info["batch"]
         fold = 1 if cfg.batch_squeeze else batch
@@ -390,13 +421,9 @@ class FlowCodec:
                     params, tuple(bufs), tuple(nws), tuple(his),
                     tuple(los), tuple(oidx), tuple(ovals), cond, batch
                 )
-                if not all(jax.device_get(oks)):
-                    raise ValueError(
-                        "rANS decode failed: state did not return to 2^32"
-                    )
                 if cfg.batch_squeeze:
                     x = x[:batch]
-                return x
+                return x, [oks]
             # too many outliers for the fused path: fall through to the
             # level-granular path below (rare)
         from ..codec.coder import decode_streams_deferred
@@ -429,11 +456,34 @@ class FlowCodec:
             x = self._run_level_inv(params, z, None if last else x, level)
         if cfg.batch_squeeze:
             x = self._unfold(x, cfg.C)[:batch]
-        if not all(jax.device_get(oks)):  # one sync for all levels
+        return x, oks
+
+    @staticmethod
+    def _check_oks(oks):
+        got = jax.device_get(list(oks))
+        if not all(bool(np.all(g)) for g in got):
             raise ValueError(
                 "rANS decode failed: state did not return to 2^32"
             )
+
+    def decompress(self, params, blobs: Sequence[bytes], info: dict, cond=None):
+        """Decode containers back to the exact input batch."""
+        x, oks = self._decompress_deferred(params, blobs, info, cond)
+        self._check_oks(oks)  # one sync for all levels
         return x
+
+    def decompress_many(self, params, packed, conds=None):
+        """Pipelined serving decode of [(blobs, info), ...]: dispatch every
+        batch's decode, then verify ALL state invariants with one sync.
+        Returns the list of decoded batches."""
+        xs, oks = [], []
+        for i, (blobs, info) in enumerate(packed):
+            cond = conds[i] if conds is not None else None
+            x, ok = self._decompress_deferred(params, blobs, info, cond)
+            xs.append(x)
+            oks.extend(ok)
+        self._check_oks(oks)  # ONE sync for the whole queue
+        return xs
 
     def coded_bits(self, blobs: Sequence[bytes]) -> int:
         return sum(8 * len(b) for b in blobs)

@@ -70,6 +70,14 @@ def _load():
             ctypes.c_int, ctypes.c_int, f32p, f32p, u32p, ctypes.c_int,
             i32p, u32p, u32p,
         ]
+        lib.rans_chain_pack.restype = ctypes.c_int
+        lib.rans_chain_pack.argtypes = [
+            ctypes.c_int, u64p, u32p, ctypes.c_int, ctypes.c_int, u64p,
+        ]
+        lib.rans_chain_unpack.restype = ctypes.c_int
+        lib.rans_chain_unpack.argtypes = [
+            ctypes.c_int, ctypes.c_uint64, u32p, ctypes.c_int, u64p,
+        ]
         _lib = lib
         return _lib
 
@@ -152,6 +160,45 @@ def encode_interleaved(values, means, scales, num_streams: int):
     if nw < 0:
         raise ValueError("native interleaved encode failed")
     return out[:nw].copy(), hi, lo
+
+
+def chain_pack(states: np.ndarray, words: np.ndarray, num_words: int):
+    """Chain final states 1..S-1 into state0 + appended words
+    (bit-identical to the Python _uniform_push loop in codec/container.py).
+
+    `states`: uint64[S]; `words`: uint32 buffer with payload in [0:num_words]
+    and at least 5*S + 8 words of spare capacity.  Returns
+    (state0, new_word_count); words is modified in place."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable (no g++?)")
+    st = np.ascontiguousarray(states, np.uint64)
+    assert words.dtype == np.uint32 and words.flags.c_contiguous
+    out = ctypes.c_uint64(0)
+    nw = lib.rans_chain_pack(
+        st.shape[0], _ptr(st, ctypes.c_uint64), _ptr(words, ctypes.c_uint32),
+        num_words, words.shape[0], ctypes.byref(out),
+    )
+    if nw < 0:
+        raise ValueError("chain pack overflow")
+    return int(out.value), nw
+
+
+def chain_unpack(S: int, state0: int, words: np.ndarray, num_words: int):
+    """Inverse of chain_pack.  Returns (states uint64[S], payload word
+    count), raising ValueError on underflow (corrupt container)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable (no g++?)")
+    w = np.ascontiguousarray(words, np.uint32)
+    states = np.empty(S, np.uint64)
+    nw = lib.rans_chain_unpack(
+        S, state0, _ptr(w, ctypes.c_uint32), num_words,
+        _ptr(states, ctypes.c_uint64),
+    )
+    if nw < 0:
+        raise ValueError("corrupt container: state chain underflow")
+    return states, nw
 
 
 def decode_interleaved(words, means, scales, num_streams: int, hi, lo):

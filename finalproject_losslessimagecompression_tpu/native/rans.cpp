@@ -193,4 +193,72 @@ int rans_decode_interleaved(int steps, int S, const float* mean,
   return pos;
 }
 
+// Variable-length state chaining for the container format
+// (codec/container.py): final states of streams 1..S-1 are entropy-coded
+// into stream 0's state as uniform bit chunks (16+16+16[+low]+5 bits per
+// stream).  These two functions are bit-identical ports of the Python
+// _uniform_push/_uniform_pop loops -- they exist because chaining 4096
+// streams is a serial ~20k-step loop that dominates pack/unpack time in
+// Python (~35 ms) but is ~30 us here.
+
+// words[0:nw] already holds the encode output; chained words are appended.
+// Returns the new word count, or -1 if cap is exceeded.
+int rans_chain_pack(int S, const uint64_t* states, uint32_t* words, int nw,
+                    int cap, uint64_t* state0_out) {
+  uint64_t st = states[0];
+  bool ok = true;
+  auto push = [&](uint64_t chunk, int bits) {
+    if (st >= (1ull << (64 - bits))) {
+      if (nw >= cap) { ok = false; return; }
+      words[nw++] = (uint32_t)(st & kMask32);
+      st >>= 32;
+    }
+    st = (st << bits) | chunk;
+  };
+  for (int j = 1; j < S && ok; ++j) {
+    uint64_t sj = states[j];
+    int nb = 64 - __builtin_clzll(sj);  // states are >= 2^32, so nb >= 33
+    int low = nb - 48;
+    push(sj & 0xFFFFull, 16);
+    push((sj >> 16) & 0xFFFFull, 16);
+    push((sj >> 32) & 0xFFFFull, 16);
+    if (low > 0) push(sj >> 48, low);
+    push((uint64_t)(nb - 33), 5);
+  }
+  if (!ok) return -1;
+  *state0_out = st;
+  return nw;
+}
+
+// Inverse: recover S final states from the chained state0 + word tail.
+// words[0:nw] is consumed from the tail; returns the remaining word count
+// (the encode payload), or -1 on underflow.
+int rans_chain_unpack(int S, uint64_t state0, const uint32_t* words, int nw,
+                      uint64_t* states_out) {
+  uint64_t st = state0;
+  bool ok = true;
+  auto pop = [&](int bits) -> uint64_t {
+    if (st < kL) {
+      if (nw <= 0) { ok = false; return 0; }
+      st = (st << 32) | (uint64_t)words[--nw];
+    }
+    uint64_t chunk = st & ((1ull << bits) - 1);
+    st >>= bits;
+    return chunk;
+  };
+  for (int j = S - 1; j >= 1 && ok; --j) {
+    int nb = (int)pop(5) + 33;
+    int low = nb - 48;
+    uint64_t sj = 0;
+    if (low > 0) sj = pop(low) << 48;
+    uint64_t c2 = pop(16);
+    uint64_t c1 = pop(16);
+    uint64_t c0 = pop(16);
+    states_out[j] = sj | (c2 << 32) | (c1 << 16) | c0;
+  }
+  if (!ok) return -1;
+  states_out[0] = st;
+  return nw;
+}
+
 }  // extern "C"

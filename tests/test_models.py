@@ -129,6 +129,29 @@ class TestFlowCodec:
         bpd = codec.real_bpd(blobs, info)
         assert 0 < bpd < 16
 
+    def test_compress_many_pipelined(self, model_and_params, rng):
+        """The pipelined serving APIs (one sync per queue) must produce
+        byte-identical containers to the per-batch API and decode
+        bit-exactly."""
+        cfg, model, params = model_and_params
+        codec = FlowCodec(model, num_streams=64)
+        xs = [grid_batch(rng, (2, cfg.H, cfg.W, cfg.C)) for _ in range(3)]
+        packed = codec.compress_many(params, xs)
+        assert len(packed) == 3
+        for x, (blobs, info) in zip(xs, packed):
+            ref_blobs, _ = codec.compress(params, x)
+            assert all(a == b for a, b in zip(blobs, ref_blobs))
+        recs = codec.decompress_many(params, packed)
+        for x, r in zip(xs, recs):
+            assert np.array_equal(np.asarray(r), np.asarray(x))
+        # a corrupted container in the queue must fail the aggregated check
+        blobs0, info0 = packed[0]
+        bad = bytearray(blobs0[0])
+        bad[-1] ^= 0xFF
+        packed_bad = [([bytes(bad)] + list(blobs0[1:]), info0)] + packed[1:]
+        with pytest.raises(ValueError):
+            codec.decompress_many(params, packed_bad)
+
     def test_nn_granularity_matches_level(self, model_and_params, rng):
         """The conservative per-NN path and the fused level path must
         produce identical containers and round-trips."""
