@@ -1,3 +1,4 @@
+from .codec import sharded_decode, sharded_encode
 from .mesh import make_mesh, mesh_shape_for
 from .sharding import (
     make_sharded_train_step,
@@ -15,5 +16,7 @@ __all__ = [
     "replicate",
     "shard_batch",
     "sharded_vq_lookup",
+    "sharded_encode",
+    "sharded_decode",
     "psum_counts",
 ]

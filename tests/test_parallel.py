@@ -111,3 +111,74 @@ class TestShardedVQ:
         assert out.shape == (32,)
         assert np.allclose(np.asarray(out), np.asarray(per_dev).sum(0),
                            atol=1e-5)
+
+
+class TestShardedCodec:
+    def test_chip_local_roundtrip(self, rng):
+        """Sharded encode produces one container per device, each
+        BYTE-IDENTICAL to a single-device encode of that shard (stream
+        state never crosses devices), and the sharded decode is
+        bit-exact."""
+        from finalproject_losslessimagecompression_tpu.codec import (
+            NBINS,
+            encode_tensor,
+            lower_bin,
+        )
+        from finalproject_losslessimagecompression_tpu.parallel import (
+            sharded_decode,
+            sharded_encode,
+        )
+
+        mesh = make_mesh()
+        D = mesh.devices.size
+        B, hw = 2 * D, 64  # 2 images/device, 64 symbols each
+        means = rng.uniform(-2, 2, (B, hw)).astype(np.float32)
+        ls = rng.uniform(-3, 0, (B, hw)).astype(np.float32)
+        raw = means + np.exp(ls) * rng.logistic(0, 1, (B, hw)).astype(
+            np.float32
+        )
+        v = np.round(raw * 256).astype(np.int32)
+        low = lower_bin(means)
+        v = np.clip(v, low, low + NBINS - 1)
+        z = (v.astype(np.float32) / 256.0).astype(np.float32)
+
+        blobs = sharded_encode(z, means, ls, mesh, num_streams=16)
+        assert len(blobs) == D
+        # chip-locality: per-device container == single-device encode of
+        # the same shard with the same stream plan
+        b = B // D
+        for d in range(D):
+            sl = slice(d * b, (d + 1) * b)
+            ref = encode_tensor(z[sl], means[sl], ls[sl], num_streams=16)
+            assert blobs[d] == ref
+        out = sharded_decode(blobs, means, ls, mesh)
+        assert np.array_equal(np.asarray(out), z)
+
+    def test_corrupt_container_fails(self, rng):
+        from finalproject_losslessimagecompression_tpu.parallel import (
+            sharded_decode,
+            sharded_encode,
+        )
+
+        mesh = make_mesh()
+        D = mesh.devices.size
+        means = rng.uniform(-1, 1, (D, 128)).astype(np.float32)
+        ls = np.full((D, 128), -2.0, np.float32)
+        v = np.round(
+            (means + np.exp(ls) * rng.logistic(0, 1, (D, 128))) * 256
+        ).astype(np.int32)
+        from finalproject_losslessimagecompression_tpu.codec import (
+            NBINS,
+            lower_bin,
+        )
+
+        low = lower_bin(means)
+        v = np.clip(v, low, low + NBINS - 1)
+        z = v.astype(np.float32) / 256.0
+        blobs = sharded_encode(z, means, ls, mesh, num_streams=8)
+        bad = bytearray(blobs[1])
+        bad[-1] ^= 0xFF
+        with pytest.raises(ValueError):
+            sharded_decode(
+                [blobs[0], bytes(bad)] + list(blobs[2:]), means, ls, mesh
+            )
