@@ -79,7 +79,7 @@ def bench_e2e(cfg, model, params, batch: int, iters: int, queue: int = 4):
         )
         for _ in range(queue)
     ]
-    codec = FlowCodec(model, num_streams=4096)
+    codec = FlowCodec(model, num_streams=8192)
     # warmup (compiles)
     packed = codec.compress_many(params, xs)
     recs = codec.decompress_many(params, packed)
@@ -139,14 +139,14 @@ def bench_codec_only(n_symbols: int, iters: int):
     low = lower_bin(means)
     v = np.clip(v, low, low + NBINS - 1)
 
-    enc = interleaved_encode(v, means, scales, num_streams=4096)
+    enc = interleaved_encode(v, means, scales, num_streams=8192)
     dec, hi, lo = interleaved_decode(enc, means, scales)
     assert np.array_equal(np.asarray(dec), v)
 
     # host-in-the-loop throughput (numpy in, containers out)
     t0 = time.time()
     for _ in range(iters):
-        enc = interleaved_encode(v, means, scales, num_streams=4096)
+        enc = interleaved_encode(v, means, scales, num_streams=8192)
         dec, hi, lo = interleaved_decode(enc, means, scales)
     jax.block_until_ready(dec)
     dt = (time.time() - t0) / iters
@@ -163,7 +163,7 @@ def bench_codec_only(n_symbols: int, iters: int):
     dev_iters = max(iters * 5, 10)
     t0 = time.time()
     for _ in range(dev_iters):
-        enc = interleaved_encode(vd, md, sd, num_streams=4096)
+        enc = interleaved_encode(vd, md, sd, num_streams=8192)
         dec, hi, lo = interleaved_decode(enc, md, sd)
     jax.block_until_ready(dec)
     dev_rate = n_symbols / ((time.time() - t0) / dev_iters)

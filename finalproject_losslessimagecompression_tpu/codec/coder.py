@@ -50,7 +50,7 @@ def _finish_decode(vals, hi, lo, shaped_like, expect_lo=None):
     return x, ok
 
 
-def encode_tensor_deferred(latent, mean, logscale, num_streams: int = 4096,
+def encode_tensor_deferred(latent, mean, logscale, num_streams: int = 8192,
                            seeds=None):
     """Dispatch an encode without any host sync; pack later with
     container.pack_streams_many to amortize the sync."""
@@ -58,7 +58,7 @@ def encode_tensor_deferred(latent, mean, logscale, num_streams: int = 4096,
     return interleaved_encode(v, mean, scale, num_streams, seeds)
 
 
-def encode_tensor(latent, mean, logscale, num_streams: int = 4096) -> bytes:
+def encode_tensor(latent, mean, logscale, num_streams: int = 8192) -> bytes:
     """Encode one latent tensor (values on the 1/256 grid) to bytes."""
     return pack_streams(
         encode_tensor_deferred(latent, mean, logscale, num_streams)
@@ -105,7 +105,7 @@ def decode_tensor(blob: bytes, mean, logscale):
 
 def encode_latents(
     latents: Sequence, means: Sequence, logscales: Sequence,
-    num_streams: int = 4096,
+    num_streams: int = 8192,
 ) -> List[bytes]:
     """Encode per-split latents (reference: coder.py:18-27)."""
     return [

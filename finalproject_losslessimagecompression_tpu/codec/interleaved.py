@@ -260,11 +260,31 @@ def _encode_core(values, means, scales, num_streams: int, steps: int,
         flags_i = flags.astype(jnp.int32)
 
     # Compact [k, S] emissions into one global buffer in (t, s) order.
-    pos = jnp.cumsum(flags_i) - flags_i  # exclusive prefix
-    total = jnp.sum(flags_i)
+    # NOT with a scatter -- XLA scatters run serially on the TPU scalar
+    # core (~6 ns/element, which made this epilogue dominate the encode).
+    # Instead: a per-step stable sort brings each step's emitted words to
+    # the front (one vectorized sort call batched over all k steps), then
+    # k contiguous dynamic_update_slice copies assemble the global buffer
+    # at the steps' cumulative offsets.
     cap = k * S
-    safe_pos = jnp.where(flags, pos, cap)  # OOB rows dropped
-    buf = jnp.zeros((cap,), _U).at[safe_pos].set(words, mode="drop")
+    flags_k = flags_i.reshape(k, S)
+    words_k = words.reshape(k, S)
+    step_counts = jnp.sum(flags_k, axis=1)  # [k]
+    offs = jnp.cumsum(step_counts) - step_counts  # exclusive prefix [k]
+    total = jnp.sum(step_counts)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (k, S), 1)
+    keys = ((1 - flags_k) << 30) | lane  # emitted first, stable in s
+    _, packed = jax.lax.sort((keys, words_k), dimension=1, num_keys=1)
+
+    def place(t, acc):
+        return jax.lax.dynamic_update_slice(acc, packed[t], (offs[t],))
+
+    # rows are placed in ascending t, each overwriting the previous row's
+    # un-emitted tail, so [0, total) ends up exactly the (t, s)-order words
+    buf = jax.lax.fori_loop(0, k, place, jnp.zeros((cap + S,), _U))[:cap]
+    buf = jnp.where(
+        jax.lax.iota(jnp.int32, cap) < total, buf, _U(0)
+    )
     return buf, total, hi, lo, oow_count, oow, v.reshape(-1)
 
 
@@ -299,7 +319,7 @@ def _disable_pallas() -> None:
     _PALLAS_DISABLED[0] = True
 
 
-def pick_num_streams(n: int, requested: int = 4096) -> int:
+def pick_num_streams(n: int, requested: int = 8192) -> int:
     """Cap parallelism so each stream codes >= ~64 symbols.  With the
     container's variable-length state flush (container.py) a stream costs
     ~5 wasted bits, so 64 symbols/stream bounds flush overhead at ~0.1
@@ -327,7 +347,7 @@ def make_seeds(words, num_words, S: int):
 
 
 def interleaved_encode(
-    values, means, scales, num_streams: int = 4096, seeds=None
+    values, means, scales, num_streams: int = 8192, seeds=None
 ) -> EncodedStreams:
     """Encode integer-bin symbols (v = round(x*256)) with S parallel streams.
 
@@ -375,12 +395,35 @@ def _decode_step(carry, xs, *, buf):
     # refill: state < 2^32  <=>  hi == 0.  Streams that refill at this step
     # pop, in ascending stream order, the last `cnt` words of the remaining
     # buffer -- the exact reverse of the encoder's (t, s) emission order.
+    #
+    # GATHER-FREE: an XLA gather runs serially on the TPU scalar core
+    # (~60us for S=8192 -- it dominated the whole decode).  But this
+    # "gather" has special structure: word[s] = chunk[rank[s]] with rank a
+    # monotone prefix sum, i.e. a run-length EXPAND.  off[s] = s - rank[s]
+    # is non-decreasing with unit steps, so x[s] = chunk[s - off[s]] is
+    # realized by log2(S) conditional uniform lane-shifts (pure VPU ops).
     need = hi == _U(0)
     need_i = need.astype(jnp.int32)
     rank = jnp.cumsum(need_i) - need_i
     cnt = jnp.sum(need_i)
-    idx = jnp.clip(ptr - cnt + rank, 0, buf.shape[0] - 1)
-    word = buf[idx]
+    # contiguous S-word chunk ending at ptr (buf is padded by S zeros so
+    # the slice never clamps for valid streams); chunk[j] = buf[ptr-cnt+j]
+    chunk = jax.lax.dynamic_slice(
+        buf, (jnp.maximum(ptr - cnt, 0),), (S,)
+    )
+    x = chunk
+    rem = jnp.arange(S, dtype=jnp.int32) - rank
+    bit = 1
+    while bit < S:
+        bit <<= 1
+    bit >>= 1
+    while bit:
+        take = rem >= bit
+        shifted = jnp.concatenate([jnp.zeros((bit,), x.dtype), x[:-bit]])
+        x = jnp.where(take, shifted, x)
+        rem = jnp.where(take, rem - bit, rem)
+        bit >>= 1
+    word = x
     hi = jnp.where(need, lo, hi)
     lo = jnp.where(need, word, lo)
     ptr = ptr - cnt
@@ -446,6 +489,11 @@ def _decode_core(buf, num_words, hi, lo, means, scales,
     n = int(np.prod(means.shape))
     m = _layout(jnp.asarray(means, jnp.float32), n, S, k, PAD_MEAN)
     s = _layout(jnp.asarray(scales, jnp.float32), n, S, k, PAD_SCALE)
+    # pad by S so the refill chunk slice (start = ptr - cnt, size S) never
+    # clamps while ptr is within the real buffer
+    buf = jnp.concatenate(
+        [jnp.asarray(buf, jnp.uint32), jnp.zeros((S,), jnp.uint32)]
+    )
     step = partial(_decode_step, buf=buf)
     (hi, lo, ptr), vals = jax.lax.scan(
         step, (hi, lo, num_words), (m, s), reverse=True

@@ -50,7 +50,7 @@ class FlowCodec:
     def __init__(
         self,
         model: IDFlow,
-        num_streams: int = 4096,
+        num_streams: int = 8192,
         granularity: str = "level",
     ):
         # "level" (default): one program per level per direction -- good

@@ -40,7 +40,7 @@ def _data_axes(mesh: Mesh) -> Tuple[str, ...]:
 
 
 def sharded_encode(latents, means, logscales, mesh: Mesh,
-                   num_streams: int = 4096) -> List[bytes]:
+                   num_streams: int = 8192) -> List[bytes]:
     """Encode a batch-sharded latent tensor to ONE container per device.
 
     latents/means/logscales: [B, ...] with B divisible by the mesh size;
