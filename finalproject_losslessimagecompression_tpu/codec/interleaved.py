@@ -443,7 +443,7 @@ def _decode_step(carry, xs, *, buf):
     # loop spends its VPU cycles on, so fewer evals is the lever.
     a = lower - jnp.int32(1)
     c_a = _cdf_u32(a, mean, scale, lower)
-    cds = cnt = None
+    cds = le = None
     for nprobe, stride in ((7, 256), (7, 32), (7, 4), (4, 1)):
         offs = (
             jnp.arange(1, nprobe + 1, dtype=jnp.int32)[:, None] * stride

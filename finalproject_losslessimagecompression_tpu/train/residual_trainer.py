@@ -60,6 +60,7 @@ class ResidualTrainer:
         num_streams: int = 1024,
         max_eval_batches: int = 0,
         test_coding: bool = False,
+        use_mesh: bool = False,
     ):
         flows = dict(flows)
         self.load_path = flows.pop("load_path", None)
@@ -109,6 +110,11 @@ class ResidualTrainer:
         if self.load_path:
             self.restore(self.load_path)
 
+        self.mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
         self._build_steps()
         self.codec = FlowCodec(self.model, num_streams=num_streams)
         self.rng_key = jax.random.PRNGKey(seed + 2)
@@ -151,7 +157,6 @@ class ResidualTrainer:
             }
             return -jnp.mean(lp), aux
 
-        @jax.jit
         def train_step(params, opt_state, data, key):
             patches, rec_patches, _ = self._prepare(data)
             if self.patch_batch_size:
@@ -171,11 +176,29 @@ class ResidualTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, aux
 
-        @jax.jit
         def eval_step(params, data):
             patches, rec_patches, rec = self._prepare(data)
             loss, aux = loss_fn(params, patches, rec_patches)
             return loss, aux, patches, rec_patches, rec
+
+        if self.mesh is not None:
+            # SPMD: params/opt state replicated, the image batch sharded
+            # over the whole mesh (patches inherit the sharding through
+            # patch_split); XLA inserts the gradient psum
+            from ..parallel.sharding import replicate, shard_batch
+
+            repl, dsh = replicate(self.mesh), shard_batch(self.mesh)
+            train_step = jax.jit(
+                train_step,
+                in_shardings=(repl, repl, dsh, repl),
+                out_shardings=(repl, repl, repl, repl),
+            )
+            eval_step = jax.jit(
+                eval_step, in_shardings=(repl, dsh),
+            )
+        else:
+            train_step = jax.jit(train_step)
+            eval_step = jax.jit(eval_step)
 
         self.train_step = train_step
         self.eval_step = eval_step

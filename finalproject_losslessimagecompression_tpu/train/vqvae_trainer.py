@@ -24,7 +24,7 @@ from .optim import build_optimizer
 
 
 def make_vqvae_step(model: VQVAE, optimizer, alpha: float, beta: float,
-                    gamma: float):
+                    gamma: float, mesh=None):
     from ..registry import DISTRIBUTIONS
 
     dist = DISTRIBUTIONS.get(model.distribution)()
@@ -37,7 +37,6 @@ def make_vqvae_step(model: VQVAE, optimizer, alpha: float, beta: float,
         recloss = -jnp.mean(dist.log_prob(batch, out))
         return alpha * recloss + vqloss, (recloss, vqloss, counts, flat)
 
-    @jax.jit
     def step(params, opt_state, batch):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch
@@ -48,13 +47,27 @@ def make_vqvae_step(model: VQVAE, optimizer, alpha: float, beta: float,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
 
-    @jax.jit
     def eval_recon(params, batch):
         out = model.apply(params, (batch - 0.5) / 0.5,
                           method=VQVAE.reconstruct)
         out = out * 0.5 + 0.5
         recloss = -jnp.mean(dist.log_prob(batch, out))
         return recloss, out
+
+    if mesh is not None:
+        # SPMD data parallelism: batch sharded over the mesh, params and
+        # optimizer state replicated; the usage counts / quantized vectors
+        # in aux come back replicated so the host-side dead-code reinit is
+        # identical on every host
+        from ..parallel.sharding import replicate, shard_batch
+
+        repl, dsh = replicate(mesh), shard_batch(mesh)
+        step = jax.jit(step, in_shardings=(repl, repl, dsh),
+                       out_shardings=(repl, repl, repl, repl))
+        eval_recon = jax.jit(eval_recon, in_shardings=(repl, dsh))
+    else:
+        step = jax.jit(step)
+        eval_recon = jax.jit(eval_recon)
 
     @jax.jit
     def reinit_step(params, counts, flat, interval, threshold):
@@ -88,6 +101,7 @@ class VQVAETrainer:
         train_args: Optional[dict] = None,
         seed: int = 0,
         max_eval_batches: int = 0,
+        use_mesh: bool = False,
     ):
         model = dict(model)
         self.load_path = model.pop("load_path", None)
@@ -119,8 +133,14 @@ class VQVAETrainer:
         if self.load_path:
             self.restore(self.load_path)
 
+        self.mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
         self.train_step, self.eval_recon, self.reinit_step = make_vqvae_step(
-            self.model, self.optimizer, self.alpha, self.beta, self.gamma
+            self.model, self.optimizer, self.alpha, self.beta, self.gamma,
+            mesh=self.mesh,
         )
 
     def _state(self):

@@ -325,3 +325,68 @@ class TestFinetuner:
         f2 = Finetuner(model=small_flow_dict(8, 8), fine_tune=True, **common)
         f2.train()
         assert float(jnp.max(jnp.abs(f2.tuner))) > 0.0
+
+
+class TestShardedPipelines:
+    def test_residual_use_mesh(self, tmp_path, vqvae_ckpt):
+        """ResidualTrainer with use_mesh shards the batch over the 8-device
+        mesh; training runs and coding stays bit-exact."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from finalproject_losslessimagecompression_tpu.train import (
+            ResidualTrainer,
+        )
+
+        t = ResidualTrainer(
+            flows=small_flow_dict(8, 8),
+            vqvae={**small_vqvae_dict(), "checkpoint": vqvae_ckpt},
+            input_size=[16, 16],
+            train_dataloader=synth_loader_cfg((16, 16, 3), batch=8,
+                                              train=True),
+            test_dataloader=synth_loader_cfg((16, 16, 3), batch=8),
+            patch_batch_size=0,
+            optimizer=dict(name="Adamax", lr=1e-3),
+            scheduler=dict(name="Constant"),
+            max_step=2,
+            step_per_epoch=10,
+            evaluate_interval=1000,
+            save_interval=1000,
+            save_path=str(tmp_path / "res.ckpt"),
+            writer_path=str(tmp_path / "logs"),
+            use_mesh=True,
+            test_coding=True,
+            max_eval_batches=1,
+        )
+        assert t.mesh is not None
+        t.train()
+        ev = t.evaluate()
+        assert ev["coding_errors"] == 0
+        assert ev["rec_error"] < 1e-4
+
+    def test_vqvae_use_mesh(self, tmp_path):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from finalproject_losslessimagecompression_tpu.train import (
+            VQVAETrainer,
+        )
+
+        data = synth_loader_cfg((16, 16, 3), batch=8)
+        t = VQVAETrainer(
+            model=small_vqvae_dict(),
+            train_dataloader={**data, "train": True},
+            test_dataloader=data,
+            optimizer=dict(name="Adam", lr=1e-3),
+            scheduler=dict(name="Constant"),
+            max_step=2,
+            step_per_epoch=10,
+            evaluate_interval=1000,
+            save_interval=1000,
+            save_path=str(tmp_path / "vq.ckpt"),
+            writer_path=str(tmp_path / "logs"),
+            train_args=dict(alpha=1.0),
+            use_mesh=True,
+        )
+        assert t.mesh is not None
+        t.train()
+        bpd, _ = t.evaluate()
+        assert np.isfinite(bpd)
