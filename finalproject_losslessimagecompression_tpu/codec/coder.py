@@ -42,20 +42,29 @@ def _prep_scale(logscale):
 
 
 @jax.jit
-def _finish_decode(vals, hi, lo, shaped_like, expect_lo=None):
-    expect = jnp.uint32(0) if expect_lo is None else expect_lo
-    ok = jnp.logical_and(jnp.all(hi == jnp.uint32(1)),
-                         jnp.all(lo == expect))
+def _finish_decode(vals, hi, lo, shaped_like, tail_start):
+    # A successful decode returns each stream to its initial encode state
+    # 2^32 | seed: hi == 1 always, and lo == 0 for every stream whose seed
+    # was zero -- i.e. all streams past `tail_start` (the donor's donated
+    # count; 0 for unseeded containers, checking every stream).  Seeded
+    # streams' lo limbs ARE the donor's recovered words, so they are data,
+    # not checkable here; the chain terminates at level 0's full check.
+    idx = jnp.arange(lo.shape[0], dtype=jnp.int32)
+    ok = jnp.logical_and(
+        jnp.all(hi == jnp.uint32(1)),
+        jnp.all(jnp.logical_or(idx < tail_start, lo == jnp.uint32(0))),
+    )
     x = (vals.astype(jnp.float32) / 256.0).reshape(shaped_like.shape)
     return x, ok
 
 
 def encode_tensor_deferred(latent, mean, logscale, num_streams: int = 8192,
-                           seeds=None):
+                           seeds=None, sym_per_stream: int = 64):
     """Dispatch an encode without any host sync; pack later with
     container.pack_streams_many to amortize the sync."""
     v, scale = _prep_symbols(latent, logscale)
-    return interleaved_encode(v, mean, scale, num_streams, seeds)
+    return interleaved_encode(v, mean, scale, num_streams, seeds,
+                              sym_per_stream)
 
 
 def encode_tensor(latent, mean, logscale, num_streams: int = 8192) -> bytes:
@@ -65,31 +74,36 @@ def encode_tensor(latent, mean, logscale, num_streams: int = 8192) -> bytes:
     )
 
 
-def decode_streams_deferred(enc, mean, logscale, seeds=None):
-    """Decode unpacked streams without a host sync; see
-    decode_tensor_deferred."""
+def decode_streams_deferred(enc, mean, logscale, fill=None, tail_start=0):
+    """Decode unpacked streams without a host sync.
+
+    Returns (x, ok, lo): decoded grid values, the state-invariant flag, and
+    the final lo limbs ([S] uint32).  For bits-back chains (FlowCodec) the
+    lo limbs of a seeded decode are the donor container's omitted words:
+    pass them as the donor's `fill`, and pass the donor's donated count as
+    this decode's `tail_start` so verification skips the seeded prefix."""
     if enc.n != np.size(mean):
         raise ValueError(
             f"container symbol count {enc.n} does not match the "
             f"parameter tensor size {np.size(mean)}"
         )
     scale = _prep_scale(logscale)
-    vals, hi, lo = interleaved_decode(enc, mean, scale)
+    vals, hi, lo = interleaved_decode(enc, mean, scale, fill)
     if enc.oow_count:
         # patch escaped out-of-window symbols with their true values
         # (rare path; see interleaved.EncodedStreams)
         vals = vals.at[jnp.asarray(enc.oow_idx, jnp.int32)].set(
             jnp.asarray(enc.oow_vals, jnp.int32)
         )
-    return _finish_decode(vals, hi, lo, mean, seeds)
+    x, ok = _finish_decode(vals, hi, lo, mean, np.int32(tail_start))
+    return x, ok, lo
 
 
-def decode_tensor_deferred(blob: bytes, mean, logscale, seeds=None):
+def decode_tensor_deferred(blob: bytes, mean, logscale):
     """Decode without a host sync: returns (x, ok) device values; the
-    caller aggregates `ok` flags and checks once.  `seeds` must match the
-    encode-side bits-back seeds (final states verify to 2^32 | seed)."""
-    return decode_streams_deferred(unpack_streams(blob), mean, logscale,
-                                   seeds)
+    caller aggregates `ok` flags and checks once."""
+    x, ok, _ = decode_streams_deferred(unpack_streams(blob), mean, logscale)
+    return x, ok
 
 
 def decode_tensor(blob: bytes, mean, logscale):

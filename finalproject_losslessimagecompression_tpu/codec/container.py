@@ -9,12 +9,17 @@ code, zero redundancy.  The container then stores only stream 0's final
 coded-tensor accounting (reference: trainer.py:327: 64*nsplit + 32*words).
 
 Layout (little-endian):
-    magic  b"LIC1"        4 bytes
+    magic  b"LIC2"        4 bytes
     n      symbols        8 bytes
     S      streams        4 bytes
     state0                8 bytes
-    W      word count     4 bytes
-    words  W * 4 bytes    (global (t, s) emission order + chain words)
+    W      word count     4 bytes  (ORIGINAL count, including donated)
+    D      donated count  4 bytes  (bits-back: the first D words are NOT
+                                    stored; the decoder recovers them from
+                                    the final states of streams they seeded
+                                    -- see FlowCodec)
+    words  (W - min(D, W)) * 4 bytes   (positions D..W-1 of the global
+                                        (t, s) emission order + chain words)
 """
 
 from __future__ import annotations
@@ -27,8 +32,8 @@ import numpy as np
 
 from .interleaved import EncodedStreams, _plan_steps
 
-MAGIC = b"LIC1"
-_HEADER = struct.Struct("<4sQIQI")
+MAGIC = b"LIC2"
+_HEADER = struct.Struct("<4sQIQII")
 RANS_L = 1 << 32
 
 
@@ -84,23 +89,29 @@ def _pack_fetched(
     lo = np.asarray(lo_a, np.uint64)
 
     # Variable-length state chaining: each final state is in [2^32, 2^64),
-    # so its bit length nb is in [33, 64].  Pushing nb bits + a 5-bit
-    # (nb - 33) header costs ~log2(state) + 5 bits per stream instead of a
-    # fixed 64 -- the flush waste drops from ~32 to ~5 bits/stream, which
-    # is what makes wide stream counts (high VPU occupancy) affordable.
+    # so its bit length nb is in [33, 64], and its top bit is 1 by
+    # definition.  The chain stores a 5-bit (nb - 33) header plus the low
+    # nb - 1 bits (leading 1 implicit): exactly nb + 4 bits per stream.
+    # Flush waste per stream is therefore the ~4-5 chain bits plus however
+    # far the state sits above its information content -- this is what
+    # makes wide stream counts (high VPU occupancy) affordable, and what
+    # bits-back seeding (interleaved.make_seeds) reduces further.
     #
     # The chain is a serial ~5S-step loop; the C++ port (bit-identical)
     # packs ~1000x faster than the Python fallback below, which matters:
     # at S=4096 the Python loop costs more than the whole device encode.
     from .. import native
 
+    # donated words must be a prefix of the SYMBOL payload (never the
+    # chain words appended after it), so clamp to num_words before pack
+    donated = min(int(getattr(enc, "donated", 0) or 0), num_words)
     if native.available():
         states = (hi << np.uint64(32)) | lo
         buf = np.empty(num_words + 5 * S + 8, np.uint32)
         buf[:num_words] = np.asarray(words_a[:num_words], np.uint32)
         state0, nw = native.chain_pack(states, buf, num_words)
-        out = bytearray(_HEADER.pack(MAGIC, enc.n, S, state0, nw))
-        out += buf[:nw].tobytes()
+        out = bytearray(_HEADER.pack(MAGIC, enc.n, S, state0, nw, donated))
+        out += buf[donated:nw].tobytes()
         out += struct.pack("<I", oow_count)
         out += oow_blob
         return bytes(out)
@@ -111,16 +122,18 @@ def _pack_fetched(
     for j in range(1, S):
         sj = states[j]
         nb = sj.bit_length()  # in [33, 64]
-        low = nb - 16 * 3
+        top = nb - 33  # bits above the low 32, minus the implicit lead 1
         state0 = _uniform_push(state0, words, sj & 0xFFFF, 16)
         state0 = _uniform_push(state0, words, (sj >> 16) & 0xFFFF, 16)
-        state0 = _uniform_push(state0, words, (sj >> 32) & 0xFFFF, 16)
-        if low > 0:
-            state0 = _uniform_push(state0, words, sj >> 48, low)
+        if top > 0:
+            state0 = _uniform_push(
+                state0, words, (sj >> 32) & ((1 << top) - 1), top
+            )
         state0 = _uniform_push(state0, words, nb - 33, 5)
 
-    out = bytearray(_HEADER.pack(MAGIC, enc.n, S, state0, len(words)))
-    out += np.asarray(words, dtype="<u4").tobytes()
+    nw = len(words)
+    out = bytearray(_HEADER.pack(MAGIC, enc.n, S, state0, nw, donated))
+    out += np.asarray(words[donated:], dtype="<u4").tobytes()
     out += struct.pack("<I", oow_count)
     out += oow_blob
     return bytes(out)
@@ -134,11 +147,12 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
     instead of crashing (or allocating) inside the decoder."""
     if len(blob) < _HEADER.size + 4:
         raise ValueError("corrupt container: truncated header")
-    magic, n, S, state0, W = _HEADER.unpack_from(blob, 0)
+    magic, n, S, state0, W, D = _HEADER.unpack_from(blob, 0)
     if magic != MAGIC:
         raise ValueError("bad container magic")
     avail_words = (len(blob) - _HEADER.size - 4) // 4
-    if W > avail_words:
+    present = W - min(D, W)
+    if present > avail_words:
         raise ValueError("corrupt container: word count exceeds payload")
     if not (1 <= S <= max(8, n)):
         raise ValueError("corrupt container: implausible stream count")
@@ -147,8 +161,15 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
     # container has at most ~32 bits/symbol of payload.
     if n > 64 * (len(blob) + (1 << 16)):
         raise ValueError("corrupt container: implausible symbol count")
-    words_np = np.frombuffer(blob, dtype="<u4", offset=_HEADER.size, count=W)
-    off = _HEADER.size + 4 * W
+    payload = np.frombuffer(
+        blob, dtype="<u4", offset=_HEADER.size, count=present
+    )
+    # bits-back hole: the first min(D, W) words were donated as stream
+    # seeds elsewhere; the caller (FlowCodec) fills them back in before
+    # decoding this container
+    words_np = np.zeros(W, np.uint32)
+    words_np[W - present:] = payload
+    off = _HEADER.size + 4 * present
     (oow_count,) = struct.unpack_from("<I", blob, off)
     off += 4
     oow_idx = oow_vals = None
@@ -173,15 +194,15 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
             for j in range(S - 1, 0, -1):
                 state0, nb33 = _uniform_pop(state0, words, 5)
                 nb = nb33 + 33
-                low = nb - 48
-                sj = 0
-                if low > 0:
-                    state0, top = _uniform_pop(state0, words, low)
-                    sj = top << 48
-                state0, c2 = _uniform_pop(state0, words, 16)
+                top_bits = nb - 33
+                top = 0
+                if top_bits > 0:
+                    state0, top = _uniform_pop(state0, words, top_bits)
                 state0, c1 = _uniform_pop(state0, words, 16)
                 state0, c0 = _uniform_pop(state0, words, 16)
-                states[j] = sj | (c2 << 32) | (c1 << 16) | c0
+                states[j] = (
+                    (1 << (nb - 1)) | (top << 32) | (c1 << 16) | c0
+                )
         except IndexError:
             raise ValueError(
                 "corrupt container: state chain underflow"
@@ -196,6 +217,8 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
     cap = k * S
     if npay > cap:
         raise ValueError("corrupt container: more words than stream capacity")
+    if min(D, W) > npay:
+        raise ValueError("corrupt container: donated hole exceeds payload")
     buf = np.zeros(cap, np.uint32)
     buf[:npay] = payload
     # arrays stay host-side (numpy); they transfer as jit-call arguments,
@@ -210,6 +233,7 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
         oow_count=int(oow_count),
         oow_idx=oow_idx,
         oow_vals=oow_vals,
+        donated=int(min(D, W)),
     )
 
 

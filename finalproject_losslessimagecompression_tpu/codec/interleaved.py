@@ -72,6 +72,10 @@ class EncodedStreams:
     # unpacked-container form of the side channel:
     oow_idx: Optional[np.ndarray] = None  # [m] int64 flat symbol indices
     oow_vals: Optional[np.ndarray] = None  # [m] int32 true bin values
+    # bits-back: number of leading words donated as seeds to other
+    # containers (absent from the packed payload; the decoder restores
+    # them from the seeded streams' final states -- see FlowCodec)
+    donated: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -216,10 +220,13 @@ def _encode_core(values, means, scales, num_streams: int, steps: int,
 
     `seeds` ([S] uint32, optional) implements bits-back stream
     initialization: states start at 2^32 | seed instead of 2^32, so the
-    ~32-bit per-stream ramp-up carries real payload instead of zeros.  The
-    decoder must derive the identical seeds from bytes it already has (see
-    FlowCodec: level l seeds from level l-1's word buffer) and verify the
-    final decode states equal 2^32 | seed.
+    ~32-bit per-stream flush carries real payload (the donor's words)
+    instead of zeros.  The donor container then OMITS those words
+    (container.py `donated`); the decoder recovers them as this encode's
+    final lo limbs (decode returns each stream to its initial state) and
+    fills the donor's hole before decoding it.  Donation must flow from a
+    container decoded LATER to one decoded EARLIER (FlowCodec: level l
+    donates seeds to level l+1; decode order is nsplit-1 .. 0).
     """
     S, k = num_streams, steps
     n = int(np.prod(values.shape))
@@ -319,35 +326,41 @@ def _disable_pallas() -> None:
     _PALLAS_DISABLED[0] = True
 
 
-def pick_num_streams(n: int, requested: int = 8192) -> int:
-    """Cap parallelism so each stream codes >= ~64 symbols.  With the
-    container's variable-length state flush (container.py) a stream costs
-    ~5 wasted bits, so 64 symbols/stream bounds flush overhead at ~0.1
-    bit/symbol while keeping the VPU lanes full (the reference's single
-    serial stream pays its 64 bits once, trainer.py:327, but codes one
-    symbol at a time on a CPU)."""
-    return int(min(requested, max(8, n // 64)))
+def pick_num_streams(n: int, requested: int = 8192,
+                     sym_per_stream: int = 64) -> int:
+    """Cap parallelism so each stream codes >= ~sym_per_stream symbols.
+    With the container's variable-length state flush (container.py) a
+    seeded stream costs ~5 wasted bits and an unseeded one ~37, so
+    64 symbols/stream bounds flush overhead at ~0.1-0.6 bit/symbol while
+    keeping the VPU lanes full (the reference's single serial stream pays
+    its 64 bits once, trainer.py:327, but codes one symbol at a time on a
+    CPU).  Unseeded containers (FlowCodec's level 0) pass a larger
+    sym_per_stream to trade a little parallelism for rate."""
+    return int(min(requested, max(8, n // sym_per_stream)))
 
 
-@partial(jax.jit, static_argnames=("S",))
-def _make_seeds_jit(words, num_words, S):
-    take = min(S, words.shape[0])
-    w = jnp.zeros((S,), _U).at[:take].set(words[:take])
-    idx = jnp.arange(S, dtype=jnp.int32)
+@partial(jax.jit, static_argnames=("S", "offset"))
+def _make_seeds_jit(words, num_words, S, offset):
+    end = min(offset + S, words.shape[0])
+    take = max(end - offset, 0)
+    w = jnp.zeros((S,), _U).at[:take].set(words[offset:end])
+    idx = jnp.arange(S, dtype=jnp.int32) + jnp.int32(offset)
     return jnp.where(idx < num_words, w, _U(0))
 
 
-def make_seeds(words, num_words, S: int):
-    """Bits-back seeds for a follow-up container: the first S words of an
-    already-encoded buffer (zero-padded past num_words).  Works for device
-    or host arrays; safe when the source buffer is shorter than S."""
+def make_seeds(words, num_words, S: int, offset: int = 0):
+    """Bits-back seeds: words [offset, offset+S) of an already-encoded
+    buffer (zero-padded past num_words).  Works for device or host arrays;
+    safe when the source buffer is shorter than offset + S."""
     return _make_seeds_jit(
-        jnp.asarray(words), jnp.asarray(num_words, jnp.int32), S=S
+        jnp.asarray(words), jnp.asarray(num_words, jnp.int32), S=S,
+        offset=int(offset),
     )
 
 
 def interleaved_encode(
-    values, means, scales, num_streams: int = 8192, seeds=None
+    values, means, scales, num_streams: int = 8192, seeds=None,
+    sym_per_stream: int = 64,
 ) -> EncodedStreams:
     """Encode integer-bin symbols (v = round(x*256)) with S parallel streams.
 
@@ -355,7 +368,7 @@ def interleaved_encode(
     One jit dispatch + one scalar readback.
     """
     n = int(np.prod(np.shape(values)))
-    S = pick_num_streams(n, num_streams)
+    S = pick_num_streams(n, num_streams, sym_per_stream)
     k = _plan_steps(n, S)
     use_pallas = _pallas_ok(S, k) and seeds is None
     try:
@@ -484,16 +497,27 @@ def _decode_step(carry, xs, *, buf):
 
 
 def _decode_core(buf, num_words, hi, lo, means, scales,
-                 num_streams: int, steps: int):
+                 num_streams: int, steps: int, fill=None, donated=None):
     S, k = num_streams, steps
     n = int(np.prod(means.shape))
     m = _layout(jnp.asarray(means, jnp.float32), n, S, k, PAD_MEAN)
     s = _layout(jnp.asarray(scales, jnp.float32), n, S, k, PAD_SCALE)
+    buf = jnp.asarray(buf, jnp.uint32)
+    if fill is not None:
+        # bits-back hole restore: the container omitted its first `donated`
+        # words (they rode as seeds in the previously-decoded level's
+        # stream states); `fill` is that level's recovered final lo limbs
+        take = min(int(fill.shape[0]), int(buf.shape[0]))
+        filled = jnp.zeros_like(buf).at[:take].set(
+            jnp.asarray(fill, jnp.uint32)[:take]
+        )
+        sel = jax.lax.iota(jnp.int32, buf.shape[0]) < jnp.asarray(
+            donated, jnp.int32
+        )
+        buf = jnp.where(sel, filled, buf)
     # pad by S so the refill chunk slice (start = ptr - cnt, size S) never
     # clamps while ptr is within the real buffer
-    buf = jnp.concatenate(
-        [jnp.asarray(buf, jnp.uint32), jnp.zeros((S,), jnp.uint32)]
-    )
+    buf = jnp.concatenate([buf, jnp.zeros((S,), jnp.uint32)])
     step = partial(_decode_step, buf=buf)
     (hi, lo, ptr), vals = jax.lax.scan(
         step, (hi, lo, num_words), (m, s), reverse=True
@@ -507,12 +531,18 @@ _decode_scan = partial(
 
 
 def interleaved_decode(
-    enc: EncodedStreams, means, scales
+    enc: EncodedStreams, means, scales, fill=None
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Decode all symbols given the same means/scales used at encode time
     (flat [n], encode order). Returns (values int32 [n], state_hi, state_lo);
-    a successful decode returns every stream's state to 2^32 (hi==1, lo==0),
-    mirroring the reference invariant (trainer.py:326)."""
+    a successful decode returns every stream's state to its initial encode
+    state: 2^32 | seed, i.e. hi == 1 and lo == seed (lo == 0 for unseeded
+    streams), mirroring the reference invariant (trainer.py:326).
+
+    `fill` (uint32 [*]) restores a bits-back donation hole: the container's
+    first `enc.donated` words were omitted from the payload and are
+    recovered from the final lo limbs of the streams they seeded (decoded
+    earlier); see FlowCodec."""
     S = enc.num_streams
     n = enc.n
     k = _plan_steps(n, S)
@@ -528,5 +558,7 @@ def interleaved_decode(
         scales,
         S,
         k,
+        fill,
+        None if fill is None else np.int32(enc.donated),
     )
     return vals, hi, lo

@@ -140,7 +140,16 @@ class FlowCodec:
 
         def _compress_all(params, x, cond, batch):
             """Whole compress pipeline (flows + priors + rANS) as one
-            program; returns per-level raw stream tuples."""
+            program; returns per-level raw stream tuples.
+
+            Bits-back chain: level l + 1's streams are seeded from level
+            l's word buffer, and level l's container then OMITS those
+            donated words (set via EncodedStreams.donated outside this
+            program) -- the decoder, which walks levels nsplit-1 .. 0,
+            recovers them as level l + 1's final lo limbs and fills the
+            hole before decoding level l.  Only level 0 (decoded last) is
+            unseeded; it uses longer streams to amortize its ~37-bit
+            per-stream flush waste."""
             if cfg.batch_squeeze:
                 x = fold_batch(x, cfg.batch_squeeze)
             conds = (
@@ -161,24 +170,15 @@ class FlowCodec:
                     method=IDFlow.prior_params,
                 )
                 v = jnp.round(z * 256.0).astype(jnp.int32).reshape(-1)
-                scale = jnp.exp(logscale).reshape(-1)
-                n = fold * self.plans[level].z_ch * self.plans[
-                    level
-                ].h * self.plans[level].w
-                S = self._pick(n, self.num_streams)
-                k = self._plan_steps(n, S)
+                S = self._level_S(level, fold)
+                k = self._plan_steps(v.shape[0], S)
                 o = _encode_core(
-                    v, mean.reshape(-1), scale, S, k, False, seeds
+                    v, mean.reshape(-1), jnp.exp(logscale).reshape(-1),
+                    S, k, False, seeds
                 )
                 outs.append(o)
                 if not last:
-                    S_next = self._pick(
-                        fold
-                        * self.plans[level + 1].z_ch
-                        * self.plans[level + 1].h
-                        * self.plans[level + 1].w,
-                        self.num_streams,
-                    )
+                    S_next = self._level_S(level + 1, fold)
                     take = min(S_next, o[0].shape[0])
                     w = jnp.zeros((S_next,), jnp.uint32).at[:take].set(
                         o[0][:take]
@@ -188,11 +188,17 @@ class FlowCodec:
                 x = keep
             return outs
 
-        def _decompress_all(params, bufs, num_words, his, los,
+        def _decompress_all(params, bufs, num_words, his, los, donated,
                             oow_idx, oow_vals, cond, batch):
             """Whole decompress pipeline as one program.  Outlier patches
             (idx/vals padded to MAX_OUTLIERS, sentinel idx = n dropped)
-            apply to each level's decoded symbols before inversion."""
+            apply to each level's decoded symbols before inversion.
+
+            bufs/num_words/his/los/donated are per-container, in DECODE
+            order (level nsplit-1 first).  donated[i] is container i's
+            bits-back hole size: its first donated[i] words are zeros in
+            bufs[i] and are restored from the final lo limbs of the
+            previously-decoded level (the streams they seeded)."""
             fold = 1 if cfg.batch_squeeze else batch
             conds = (
                 model.apply(params, cond, method=IDFlow.cond_features)
@@ -200,6 +206,7 @@ class FlowCodec:
                 else None
             )
             x = None
+            prev_lo = None
             oks = []
             for i, level in enumerate(range(cfg.nsplit - 1, -1, -1)):
                 p = self.plans[level]
@@ -214,31 +221,43 @@ class FlowCodec:
                     method=IDFlow.prior_params,
                 )
                 n = fold * p.z_ch * p.h * p.w
-                S = self._pick(n, self.num_streams)
+                S = self._level_S(level, fold)
                 k = self._plan_steps(n, S)
+                buf_l = bufs[i]
+                if prev_lo is not None:
+                    # fill this container's donated hole from the seeds
+                    # recovered by the previous level's decode
+                    take = min(int(prev_lo.shape[0]), int(buf_l.shape[0]))
+                    filled = jnp.zeros_like(buf_l).at[:take].set(
+                        prev_lo[:take]
+                    )
+                    sel = jax.lax.iota(jnp.int32, buf_l.shape[0]) < donated[i]
+                    buf_l = jnp.where(sel, filled, buf_l)
                 vals, hi2, lo2, _ = _decode_core(
-                    bufs[i], num_words[i], his[i], los[i],
+                    buf_l, num_words[i], his[i], los[i],
                     mean.reshape(-1), jnp.exp(logscale).reshape(-1),
                     S, k,
                 )
-                if level >= 1:
-                    # seeds came from container level-1 = bufs[i + 1]
-                    take = min(S, bufs[i + 1].shape[0])
-                    w = jnp.zeros((S,), jnp.uint32).at[:take].set(
-                        bufs[i + 1][:take]
-                    )
-                    idx = jnp.arange(S, dtype=jnp.int32)
-                    expect = jnp.where(
-                        idx < num_words[i + 1], w, jnp.uint32(0)
-                    )
-                else:
-                    expect = jnp.uint32(0)
+                # a seeded level (level > 0) verifies hi == 1 plus lo == 0
+                # past the donor's donated count; its seeded-lo prefix is
+                # the donor's data, verified transitively by level 0's
+                # full check (the chain must end exactly at 2^32).  The
+                # donor of level l is level l - 1 = container i + 1.
+                tail_start = (
+                    jnp.int32(0) if level == 0 else donated[i + 1]
+                )
+                idx = jnp.arange(S, dtype=jnp.int32)
                 oks.append(
                     jnp.logical_and(
                         jnp.all(hi2 == jnp.uint32(1)),
-                        jnp.all(lo2 == expect),
+                        jnp.all(
+                            jnp.logical_or(
+                                idx < tail_start, lo2 == jnp.uint32(0)
+                            )
+                        ),
                     )
                 )
+                prev_lo = lo2
                 vals = vals.at[oow_idx[i]].set(oow_vals[i], mode="drop")
                 z = (vals.astype(jnp.float32) / 256.0).reshape(mean.shape)
                 x = _level_inv(params, z, None if last else x, level)
@@ -247,7 +266,7 @@ class FlowCodec:
             return x, jnp.stack(oks)
 
         self._compress_all = jax.jit(_compress_all, static_argnums=(3,))
-        self._decompress_all = jax.jit(_decompress_all, static_argnums=(8,))
+        self._decompress_all = jax.jit(_decompress_all, static_argnums=(9,))
 
     # ------------------------------------------------------------------
     # conservative per-NN path (shared t executables, eager plumbing)
@@ -306,9 +325,9 @@ class FlowCodec:
 
         cfg = self.cfg
         batch = int(x.shape[0])
+        fold = 1 if cfg.batch_squeeze else batch
         if self.granularity == "fused":
             outs = self._compress_all(params, x, cond, batch)
-            fold = 1 if cfg.batch_squeeze else batch
             encs = []
             for level, o in enumerate(outs):
                 p = self.plans[level]
@@ -317,8 +336,13 @@ class FlowCodec:
                     EncodedStreams(
                         words=o[0], num_words=o[1], state_hi=o[2],
                         state_lo=o[3], n=n,
-                        num_streams=self._pick(n, self.num_streams),
+                        num_streams=self._level_S(level, fold),
                         oow_count=o[4], oow_mask=o[5], orig_values=o[6],
+                        donated=(
+                            self._level_S(level + 1, fold)
+                            if level + 1 < cfg.nsplit
+                            else 0
+                        ),
                     )
                 )
             return encs, {"batch": batch}
@@ -326,8 +350,16 @@ class FlowCodec:
         if cfg.batch_squeeze:
             x = self._fold(x, cfg.batch_squeeze)
         conds = self._cond(params, cond) if cfg.conditional else None
-        fold = 1 if cfg.batch_squeeze else batch
-        encs = []
+        # Bits-back chain: level l + 1's streams are seeded from level l's
+        # word buffer, and level l's container omits those donated words
+        # (its `donated` field; container.py drops them from the payload).
+        # The decoder walks levels nsplit-1 .. 0, so by the time it needs
+        # level l's full buffer it has already decoded level l + 1 and
+        # recovered the donated words as that decode's final lo limbs.
+        # Only level 0 (decoded last, seeds nothing to recover) is
+        # unseeded; it uses longer streams (_level_S) to amortize its
+        # ~37-bit per-stream flush waste.
+        encs: List = []
         seeds = None
         for level in range(cfg.nsplit):
             z, keep = self._run_level_fwd(params, x, level)
@@ -336,17 +368,16 @@ class FlowCodec:
                 params, ref, level, conds[level] if conds else None
             )
             enc = encode_tensor_deferred(
-                z, mean, logscale, self.num_streams, seeds
+                z, mean, logscale, self.num_streams, seeds,
+                sym_per_stream=self._level_sps(level),
             )
             encs.append(enc)
             if level + 1 < cfg.nsplit:
-                # bits-back: seed the next level's streams from this
-                # level's word buffer (the decoder has those bytes before
-                # decoding the next level), eliminating its ~32-bit
-                # per-stream state ramp
-                seeds = make_seeds(
-                    enc.words, enc.num_words, self._level_S(level + 1, fold)
-                )
+                S_next = self._level_S(level + 1, fold)
+                seeds = make_seeds(enc.words, enc.num_words, S_next)
+                # the donated count is clamped to the actual word count at
+                # pack time (container._pack_fetched)
+                enc.donated = S_next
             x = keep
         return encs, {"batch": batch}
 
@@ -383,11 +414,27 @@ class FlowCodec:
             pos += len(encs)
         return out
 
+    # symbols per stream: level 0 is the only UNSEEDED level (nothing is
+    # decoded after it, so nothing can recover donated words from it) and
+    # pays ~37 bits of flush waste per stream -- longer streams amortize
+    # that at some cost in decode parallelism.  Seeded levels waste only
+    # the ~4-bit chain header per stream, so they stay wide.
+    UNSEEDED_SYM_PER_STREAM = 256
+    SEEDED_SYM_PER_STREAM = 64
+
+    def _level_sps(self, level: int) -> int:
+        if level == 0 and self.cfg.nsplit > 1:
+            return self.UNSEEDED_SYM_PER_STREAM
+        return self.SEEDED_SYM_PER_STREAM
+
     def _level_S(self, level: int, fold: int) -> int:
         from ..codec.interleaved import pick_num_streams
 
         p = self.plans[level]
-        return pick_num_streams(fold * p.z_ch * p.h * p.w, self.num_streams)
+        return pick_num_streams(
+            fold * p.z_ch * p.h * p.w, self.num_streams,
+            self._level_sps(level),
+        )
 
     def _decompress_deferred(self, params, blobs: Sequence[bytes],
                              info: dict, cond=None):
@@ -402,13 +449,15 @@ class FlowCodec:
 
             encs = [unpack_streams(b) for b in blobs]
             if all(e.oow_count <= self.MAX_OUTLIERS for e in encs):
-                bufs, nws, his, los, oidx, ovals = [], [], [], [], [], []
+                bufs, nws, his, los, dons = [], [], [], [], []
+                oidx, ovals = [], []
                 for level in range(cfg.nsplit - 1, -1, -1):
                     e = encs[level]
                     bufs.append(e.words)
                     nws.append(np.int32(e.num_words))
                     his.append(e.state_hi)
                     los.append(e.state_lo)
+                    dons.append(np.int32(e.donated))
                     idx = np.full(self.MAX_OUTLIERS, 1 << 30, np.int32)
                     vals = np.zeros(self.MAX_OUTLIERS, np.int32)
                     if e.oow_count:
@@ -419,7 +468,8 @@ class FlowCodec:
                     ovals.append(vals)
                 x, oks = self._decompress_all(
                     params, tuple(bufs), tuple(nws), tuple(his),
-                    tuple(los), tuple(oidx), tuple(ovals), cond, batch
+                    tuple(los), tuple(dons), tuple(oidx), tuple(ovals),
+                    cond, batch
                 )
                 if cfg.batch_squeeze:
                     x = x[:batch]
@@ -432,6 +482,7 @@ class FlowCodec:
         conds = self._cond(params, cond) if cfg.conditional else None
         unpacked = [_unpack(b) for b in blobs]
         x = None
+        prev_lo = None
         oks = []
         for level in range(cfg.nsplit - 1, -1, -1):
             p = self.plans[level]
@@ -443,15 +494,17 @@ class FlowCodec:
             mean, logscale = self._prior(
                 params, ref, level, conds[level] if conds else None
             )
-            seeds = None
-            if level >= 1:
-                prev = unpacked[level - 1]
-                seeds = make_seeds(
-                    prev.words, prev.num_words, self._level_S(level, fold)
-                )
-            z, ok = decode_streams_deferred(
-                unpacked[level], mean, logscale, seeds
+            # bits-back: this container's donated hole is restored from the
+            # previously-decoded level's final lo limbs (the seeds it
+            # recovered); verification skips this level's own seeded prefix
+            # (its donor's donated count) -- level 0's full check closes
+            # the chain.
+            tail = 0 if level == 0 else unpacked[level - 1].donated
+            z, ok, lo = decode_streams_deferred(
+                unpacked[level], mean, logscale,
+                fill=None if last else prev_lo, tail_start=tail,
             )
+            prev_lo = lo
             oks.append(ok)
             x = self._run_level_inv(params, z, None if last else x, level)
         if cfg.batch_squeeze:

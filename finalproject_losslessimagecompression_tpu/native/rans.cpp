@@ -218,11 +218,10 @@ int rans_chain_pack(int S, const uint64_t* states, uint32_t* words, int nw,
   for (int j = 1; j < S && ok; ++j) {
     uint64_t sj = states[j];
     int nb = 64 - __builtin_clzll(sj);  // states are >= 2^32, so nb >= 33
-    int low = nb - 48;
+    int top = nb - 33;  // bits above the low 32, minus the implicit lead 1
     push(sj & 0xFFFFull, 16);
     push((sj >> 16) & 0xFFFFull, 16);
-    push((sj >> 32) & 0xFFFFull, 16);
-    if (low > 0) push(sj >> 48, low);
+    if (top > 0) push((sj >> 32) & ((1ull << top) - 1), top);
     push((uint64_t)(nb - 33), 5);
   }
   if (!ok) return -1;
@@ -248,13 +247,11 @@ int rans_chain_unpack(int S, uint64_t state0, const uint32_t* words, int nw,
   };
   for (int j = S - 1; j >= 1 && ok; --j) {
     int nb = (int)pop(5) + 33;
-    int low = nb - 48;
-    uint64_t sj = 0;
-    if (low > 0) sj = pop(low) << 48;
-    uint64_t c2 = pop(16);
+    int top_bits = nb - 33;
+    uint64_t top = top_bits > 0 ? pop(top_bits) : 0;
     uint64_t c1 = pop(16);
     uint64_t c0 = pop(16);
-    states_out[j] = sj | (c2 << 32) | (c1 << 16) | c0;
+    states_out[j] = (1ull << (nb - 1)) | (top << 32) | (c1 << 16) | c0;
   }
   if (!ok) return -1;
   states_out[0] = st;

@@ -184,20 +184,25 @@ class TestFlowCodec:
         from finalproject_losslessimagecompression_tpu.codec.container import (
             unpack_streams,
         )
-        from finalproject_losslessimagecompression_tpu.codec.interleaved import (
-            make_seeds,
-        )
 
         unpacked = [unpack_streams(b) for b in blobs]
-        for level, (z, m, ls) in enumerate(zip(latents, means, logscales)):
-            # levels >= 1 are bits-back seeded from the previous level's words
-            seeds = None
-            if level >= 1:
-                prev = unpacked[level - 1]
-                seeds = make_seeds(
-                    prev.words, prev.num_words, codec._level_S(level, 2)
-                )
-            dec, ok = decode_streams_deferred(unpacked[level], m, ls, seeds)
+        # bits-back chain: every level but the last donates its leading
+        # words as the next level's stream seeds; its container has a hole
+        # that the decoder fills from the next level's final lo limbs
+        assert all(
+            unpacked[level].donated > 0 for level in range(cfg.nsplit - 1)
+        )
+        assert unpacked[cfg.nsplit - 1].donated == 0
+        prev_lo = None
+        for level in range(cfg.nsplit - 1, -1, -1):
+            z, m, ls = latents[level], means[level], logscales[level]
+            last = level == cfg.nsplit - 1
+            tail = 0 if level == 0 else unpacked[level - 1].donated
+            dec, ok, lo = decode_streams_deferred(
+                unpacked[level], m, ls,
+                fill=None if last else prev_lo, tail_start=tail,
+            )
+            prev_lo = lo
             assert bool(jax.device_get(ok))
             assert np.array_equal(np.asarray(dec), np.asarray(z))
 
