@@ -20,21 +20,35 @@ Layout (little-endian):
                                     -- see FlowCodec)
     words  (W - min(D, W)) * 4 bytes   (positions D..W-1 of the global
                                         (t, s) emission order + chain words)
+    oow_count             4 bytes
+    oow_idx, oow_vals     8 * oow_count bytes (raw out-of-window escapes)
+    oow_crc32             4 bytes, present iff oow_count > 0 (the escape
+                          block is outside the rANS state invariant, so it
+                          carries its own checksum)
 """
 
 from __future__ import annotations
 
+import math
 import struct
+import zlib
 from typing import Tuple
 
 import jax
 import numpy as np
 
+from .cdf import NBINS, PRECISION
 from .interleaved import EncodedStreams, _plan_steps
 
 MAGIC = b"LIC2"
 _HEADER = struct.Struct("<4sQIQII")
 RANS_L = 1 << 32
+
+# The cheapest codable symbol: all other 2047 bins keep their +1 frequency
+# floor, so fmax = M - (NBINS - 1) and the per-symbol cost floor is
+# -log2(fmax / M) ~ 1.76e-4 bits.  Used to bound a container's plausible
+# symbol count by its payload's information capacity.
+_MIN_SYMBOL_BITS = -math.log2(float(PRECISION - (NBINS - 1)) / PRECISION)
 
 
 def _uniform_push(state: int, words: list, chunk: int, bits: int) -> int:
@@ -114,6 +128,11 @@ def _pack_fetched(
         out += buf[donated:nw].tobytes()
         out += struct.pack("<I", oow_count)
         out += oow_blob
+        if oow_count:
+            # the out-of-window side channel is raw (not covered by the
+            # rANS state invariant); a CRC gives it the same corruption-
+            # detection guarantee as the coded payload
+            out += struct.pack("<I", zlib.crc32(oow_blob))
         return bytes(out)
 
     states = [(int(hi[j]) << 32) | int(lo[j]) for j in range(S)]
@@ -136,6 +155,8 @@ def _pack_fetched(
     out += np.asarray(words[donated:], dtype="<u4").tobytes()
     out += struct.pack("<I", oow_count)
     out += oow_blob
+    if oow_count:
+        out += struct.pack("<I", zlib.crc32(oow_blob))
     return bytes(out)
 
 
@@ -156,10 +177,13 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
         raise ValueError("corrupt container: word count exceeds payload")
     if not (1 <= S <= max(8, n)):
         raise ValueError("corrupt container: implausible stream count")
-    # n bounds the decode-side allocation (k*S >= n words); cap it so a
-    # corrupted symbol count cannot trigger a giant allocation.  A valid
-    # container has at most ~32 bits/symbol of payload.
-    if n > 64 * (len(blob) + (1 << 16)):
+    # n bounds the decode-side allocation (k*S >= n words); reject symbol
+    # counts beyond the payload's information capacity so a corrupted n
+    # cannot trigger a giant allocation.  The bound is the true per-symbol
+    # cost floor (_MIN_SYMBOL_BITS), not a fixed bits/symbol heuristic:
+    # legitimately low-entropy containers stay accepted.  The +64-byte
+    # slack covers header/state bits already inside the blob.
+    if float(n) * _MIN_SYMBOL_BITS > 8.0 * (len(blob) + 64):
         raise ValueError("corrupt container: implausible symbol count")
     payload = np.frombuffer(
         blob, dtype="<u4", offset=_HEADER.size, count=present
@@ -174,11 +198,14 @@ def unpack_streams(blob: bytes) -> EncodedStreams:
     off += 4
     oow_idx = oow_vals = None
     if oow_count:
-        if off + 8 * oow_count > len(blob):
+        if off + 8 * oow_count + 4 > len(blob):
             raise ValueError("corrupt container: outlier block truncated")
         oow_idx = np.frombuffer(blob, "<u4", offset=off, count=oow_count)
         off += 4 * oow_count
         oow_vals = np.frombuffer(blob, "<i4", offset=off, count=oow_count)
+        (crc,) = struct.unpack_from("<I", blob, off + 4 * oow_count)
+        if crc != zlib.crc32(blob[off - 4 * oow_count : off + 4 * oow_count]):
+            raise ValueError("corrupt container: outlier block checksum")
 
     from .. import native
 

@@ -44,42 +44,61 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        so = _SO if os.path.exists(_SO) else _build()
+        # Prefer an existing build; if it fails to load or lacks a symbol
+        # (stale/wrong-arch binary predating newer entry points), rebuild
+        # from source once, then degrade to None (Python fallback) -- a bad
+        # cached .so must never turn available() into a crash.
+        if os.path.exists(_SO):
+            try:
+                _lib = _bind(ctypes.CDLL(_SO))
+                return _lib
+            except (OSError, AttributeError):
+                try:
+                    os.remove(_SO)
+                except OSError:
+                    pass
+        so = _build()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
-        u32p = ctypes.POINTER(ctypes.c_uint32)
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        f32p = ctypes.POINTER(ctypes.c_float)
-        u64p = ctypes.POINTER(ctypes.c_uint64)
-        lib.rans_encode_single.restype = ctypes.c_int
-        lib.rans_encode_single.argtypes = [
-            ctypes.c_int, i32p, f32p, f32p, u32p, ctypes.c_int, u64p,
-        ]
-        lib.rans_decode_single.restype = ctypes.c_int
-        lib.rans_decode_single.argtypes = [
-            ctypes.c_int, f32p, f32p, u32p, ctypes.c_int, i32p, u64p,
-        ]
-        lib.rans_encode_interleaved.restype = ctypes.c_int
-        lib.rans_encode_interleaved.argtypes = [
-            ctypes.c_int, ctypes.c_int, i32p, f32p, f32p, u32p,
-            ctypes.c_int, u32p, u32p,
-        ]
-        lib.rans_decode_interleaved.restype = ctypes.c_int
-        lib.rans_decode_interleaved.argtypes = [
-            ctypes.c_int, ctypes.c_int, f32p, f32p, u32p, ctypes.c_int,
-            i32p, u32p, u32p,
-        ]
-        lib.rans_chain_pack.restype = ctypes.c_int
-        lib.rans_chain_pack.argtypes = [
-            ctypes.c_int, u64p, u32p, ctypes.c_int, ctypes.c_int, u64p,
-        ]
-        lib.rans_chain_unpack.restype = ctypes.c_int
-        lib.rans_chain_unpack.argtypes = [
-            ctypes.c_int, ctypes.c_uint64, u32p, ctypes.c_int, u64p,
-        ]
-        _lib = lib
+        try:
+            _lib = _bind(ctypes.CDLL(so))
+        except (OSError, AttributeError):
+            return None
         return _lib
+
+
+def _bind(lib):
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.rans_encode_single.restype = ctypes.c_int
+    lib.rans_encode_single.argtypes = [
+        ctypes.c_int, i32p, f32p, f32p, u32p, ctypes.c_int, u64p,
+    ]
+    lib.rans_decode_single.restype = ctypes.c_int
+    lib.rans_decode_single.argtypes = [
+        ctypes.c_int, f32p, f32p, u32p, ctypes.c_int, i32p, u64p,
+    ]
+    lib.rans_encode_interleaved.restype = ctypes.c_int
+    lib.rans_encode_interleaved.argtypes = [
+        ctypes.c_int, ctypes.c_int, i32p, f32p, f32p, u32p,
+        ctypes.c_int, u32p, u32p,
+    ]
+    lib.rans_decode_interleaved.restype = ctypes.c_int
+    lib.rans_decode_interleaved.argtypes = [
+        ctypes.c_int, ctypes.c_int, f32p, f32p, u32p, ctypes.c_int,
+        i32p, u32p, u32p,
+    ]
+    lib.rans_chain_pack.restype = ctypes.c_int
+    lib.rans_chain_pack.argtypes = [
+        ctypes.c_int, u64p, u32p, ctypes.c_int, ctypes.c_int, u64p,
+    ]
+    lib.rans_chain_unpack.restype = ctypes.c_int
+    lib.rans_chain_unpack.argtypes = [
+        ctypes.c_int, ctypes.c_uint64, u32p, ctypes.c_int, u64p,
+    ]
+    return lib
 
 
 def available() -> bool:

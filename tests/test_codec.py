@@ -172,9 +172,10 @@ class TestInterleaved:
 
     def test_container_fuzz_robustness(self, rng):
         """EVERY single-byte corruption of a container must surface as a
-        clean ValueError -- header fields are validated before allocation,
-        and payload corruption trips the decode state invariant (final
-        state must return to 2^32).  Never an unhandled crash, OOM-sized
+        clean ValueError: header fields are validated before allocation,
+        coded-payload corruption trips the decode state invariant (final
+        state must return to 2^32), and the raw out-of-window escape block
+        carries its own CRC.  Never an unhandled crash, OOM-sized
         allocation, or silent wrong decode."""
         v, means, scales = _random_symbols(rng, 1500)
         lat = v.astype(np.float32) / 256.0
@@ -192,6 +193,28 @@ class TestInterleaved:
         # parameter tensors of the wrong size must be rejected up front
         with pytest.raises(ValueError):
             decode_tensor(blob, means[:-1], ls[:-1])
+
+    def test_container_fuzz_with_outliers(self, rng):
+        """Same guarantee for a container carrying out-of-window escapes:
+        the idx/vals side channel is outside the rANS state invariant, so
+        its CRC is what turns a flipped byte there into a ValueError
+        instead of a silent wrong decode."""
+        v, means, scales = _random_symbols(rng, 800)
+        v = v.copy()
+        out_pos = [5, 99, 600]
+        for p in out_pos:
+            v[p] = lower_bin(means[p]) + NBINS + 333
+        lat = v.astype(np.float32) / 256.0
+        ls = np.log(scales).astype(np.float32)
+        blob = encode_tensor(lat, means, ls, num_streams=16)
+        assert np.array_equal(np.asarray(decode_tensor(blob, means, ls)), lat)
+        # flip every byte of the trailing escape block (idx+vals+crc)
+        tail = 8 * len(out_pos) + 4 + 4  # oow_count + payload + crc
+        for pos in range(len(blob) - tail, len(blob)):
+            bad = bytearray(blob)
+            bad[pos] ^= 0xFF
+            with pytest.raises(ValueError):
+                decode_tensor(bytes(bad), means, ls)
 
     def test_compression_rate_near_entropy(self, rng):
         """Coded size should be close to the analytic discretized-logistic
