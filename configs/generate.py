@@ -52,12 +52,13 @@ def in64_loader(batch, train):
                 batch_size=batch, nbits=8, train=train)
 
 
-def synth_loader(batch, train, size=(32, 32, 3), length=64):
+def synth_loader(batch, train, size=(32, 32, 3), length=64, seed=0,
+                 cache=False):
     return dict(name="CustomDataLoader",
                 dataset=dict(name="SyntheticImages", size=list(size),
-                             length=length, seed=0),
+                             length=length, seed=seed),
                 batch_size=batch, nbits=8, train=train,
-                shuffle=bool(train))
+                shuffle=bool(train), cache=cache)
 
 
 def sched():
@@ -314,6 +315,29 @@ CONFIGS["vis_config_imagenet64"] = dict(train=dict(
                       prior_d=12, act="ReLU")),
     test_dataloader=in64_loader(4, False),
 ))
+
+# -- the hermetic headline run: ImageNet64-shaped flows trained on 64x64
+#    synthetic images until the coded real_bpd beats the classical codecs
+#    (cli.baselines --synthetic PNG/WebP panel on the SAME held-out set:
+#    SyntheticImages seed=0 length=32).  Train split is seed=1 (disjoint
+#    SeedSequence streams).  No reference counterpart: the reference's
+#    equivalent evidence is its CelebA training curve
+#    (reference: utils/fig/train_bpd.png, trainer.py:239-240,326-327).
+CONFIGS["synthetic64"] = dict(train=dict(
+    model=flow(H=64, W=64, nflows=8, nsplit=3, couple_g=256, couple_d=6,
+               prior_g=256, prior_d=6, act="ReLU"),
+    test_coding=True,
+    log_every=20,
+    train_dataloader=synth_loader(32, True, size=(64, 64, 3), length=8192,
+                                  seed=1, cache=True),
+    test_dataloader=synth_loader(8, False, size=(64, 64, 3), length=32,
+                                 seed=0, cache=True),
+    optimizer=opt(),
+    scheduler=dict(name="WarmUpScheduler", warmup=2, beta=0.995),
+    max_step=30000, step_per_epoch=256,
+    evaluate_interval=2500, save_interval=2500,
+    save_path="./logs/synthetic64.ckpt",
+    writer_path="./logs/log_synthetic64"))
 
 # -- hermetic synthetic smokes (no reference counterpart; CPU-runnable)
 CONFIGS["smoke_synthetic"] = dict(train=dict(

@@ -100,6 +100,19 @@ class DataLoader:
             raise
 
 
+def _resolve_shard(shard, shard_index, shard_count):
+    """Config schema for multi-host data sharding: `shard: true` fills the
+    process coordinates from the jax.distributed runtime; explicit
+    shard_index/shard_count override (and work without jax.distributed)."""
+    if shard_index is not None or shard_count is not None:
+        return int(shard_index or 0), int(shard_count or 1)
+    if shard:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    return 0, 1
+
+
 @DATALOADERS.register(name="CommonDataLoader")
 def CommonDataLoader(
     path: str,
@@ -111,14 +124,23 @@ def CommonDataLoader(
     train: bool = False,
     pad=None,
     seed: int = 0,
+    cache: bool = False,
+    shard: bool = False,
+    shard_index=None,
+    shard_count=None,
 ) -> DataLoader:
     """ImageFolder + crop/resize loader (reference: trainer.py:42-75)."""
+    from .datasets import CachedDataset
+
     ds = DATASETS.get("ImageFolder")(
         path, resize=resize, centercrop=centercrop
     )
+    if cache:
+        ds = CachedDataset(ds)
+    si, sc = _resolve_shard(shard, shard_index, shard_count)
     return DataLoader(
         ds, batch_size, shuffle=shuffle, nbits=nbits, train=train, pad=pad,
-        seed=seed,
+        seed=seed, shard_index=si, shard_count=sc,
     )
 
 
@@ -131,11 +153,20 @@ def CustomDataLoader(
     train: bool = False,
     pad=None,
     seed: int = 0,
+    cache: bool = False,
+    shard: bool = False,
+    shard_index=None,
+    shard_count=None,
 ) -> DataLoader:
     """Loader over any registered dataset by name (reference:
     trainer.py:79-104)."""
+    from .datasets import CachedDataset
+
     ds = build(DATASETS, dataset)
+    if cache:
+        ds = CachedDataset(ds)
+    si, sc = _resolve_shard(shard, shard_index, shard_count)
     return DataLoader(
         ds, batch_size, shuffle=shuffle, nbits=nbits, train=train, pad=pad,
-        seed=seed,
+        seed=seed, shard_index=si, shard_count=sc,
     )
