@@ -7,19 +7,26 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 Headline metric (BASELINE.json): images/s/chip encode+decode on
-ImageNet64-sized inputs, bit-exact round-trip required.
+ImageNet64-sized inputs, bit-exact round-trip required.  The DEFAULT model
+is the flagship ImageNet64-class config (reference configs/imagenet64.yaml:
+nflows=8, nsplit=3, growth 512, depth 12); --quick selects a small model
+for fast iteration.  Also reported: per-phase wall-clock split, device
+codec throughput for BOTH backends (Pallas kernels vs the lax.scan path),
+and non-pipelined single-image latency (vs the serial C++ coder's
+single-image time -- the reference architecture's latency floor).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import time
 
 import numpy as np
 
 
-def build_model(quick: bool):
+def build_model(quick: bool, seed: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -27,7 +34,6 @@ def build_model(quick: bool):
         CouplingCfg,
         DenseBlockCfg,
         FlowCfg,
-        FlowCodec,
         IDFlow,
     )
 
@@ -38,39 +44,28 @@ def build_model(quick: bool):
             prior_nn=DenseBlockCfg(32, 2, "LeakyReLU"),
         )
     else:
-        # ImageNet64-class model (reference: configs/imagenet64.yaml scale)
+        # flagship: reference configs/imagenet64.yaml scale
+        # (nflows=8, nsplit=3, growth 512/512, depth 12/12)
         cfg = FlowCfg(
             H=64, W=64, C=3, nflows=8, nsplit=3,
-            couple=CouplingCfg(0.75, DenseBlockCfg(128, 4, "LeakyReLU")),
-            prior_nn=DenseBlockCfg(128, 4, "LeakyReLU"),
+            couple=CouplingCfg(0.75, DenseBlockCfg(512, 12, "ReLU")),
+            prior_nn=DenseBlockCfg(512, 12, "ReLU"),
         )
     model = IDFlow(cfg)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     x = jnp.asarray(
         np.round(rng.uniform(0, 1, (1, 64, 64, 3)) * 256).astype(np.float32)
         / 256.0
     )
-    import jax
-
     params = model.init(jax.random.PRNGKey(0), x)
     return cfg, model, params
 
 
-def bench_e2e(cfg, model, params, batch: int, iters: int, queue: int = 4):
-    """Pipelined serving round trip: a queue of `queue` batches is
-    compressed with compress_many (one host sync packs every container)
-    and decoded with decompress_many (one sync verifies every state
-    invariant).  Median-of-iters timing -- the remote tunnel's latency
-    variance otherwise dominates single measurements."""
-    import statistics
-
-    import jax
+def _batches(batch: int, queue: int, seed: int = 1):
     import jax.numpy as jnp
 
-    from finalproject_losslessimagecompression_tpu.models import FlowCodec
-
-    rng = np.random.default_rng(1)
-    xs = [
+    rng = np.random.default_rng(seed)
+    return [
         jnp.asarray(
             np.round(rng.uniform(0, 1, (batch, 64, 64, 3)) * 256).astype(
                 np.float32
@@ -79,6 +74,24 @@ def bench_e2e(cfg, model, params, batch: int, iters: int, queue: int = 4):
         )
         for _ in range(queue)
     ]
+
+
+def bench_e2e(cfg, model, params, batch: int, iters: int, queue: int = 4):
+    """Pipelined serving round trip: a queue of `queue` batches is
+    compressed with compress_many (one host sync packs every container)
+    and decoded with decompress_many (one sync verifies every state
+    invariant).  Median-of-iters timing -- the remote tunnel's latency
+    variance otherwise dominates single measurements."""
+    import math
+
+    import jax
+
+    from finalproject_losslessimagecompression_tpu.models import FlowCodec
+    from finalproject_losslessimagecompression_tpu.models.idflow import (
+        log_likelihood,
+    )
+
+    xs = _batches(batch, queue)
     codec = FlowCodec(model, num_streams=8192)
     # warmup (compiles)
     packed = codec.compress_many(params, xs)
@@ -91,18 +104,13 @@ def bench_e2e(cfg, model, params, batch: int, iters: int, queue: int = 4):
         np.mean([codec.real_bpd(blobs, info) for blobs, info in packed])
     )
 
-    # analytic bpd for the codec-overhead gap
-    import math
-
-    from finalproject_losslessimagecompression_tpu.models.idflow import (
-        log_likelihood,
-    )
+    import jax.numpy as jnp
 
     @jax.jit
     def _loss(params, batch):
         latents, means, logscales = model.apply(params, batch)
-        lp, _ = log_likelihood(cfg, latents, means, logscales)
-        return -jnp.mean(lp)
+        lp, _ = log_likelihood(model.cfg, latents, means, logscales)
+        return -jnp.mean(lp)  # nats/dim
 
     analytic_bpd = float(_loss(params, xs[0])) / math.log(2.0)
 
@@ -114,16 +122,81 @@ def bench_e2e(cfg, model, params, batch: int, iters: int, queue: int = 4):
         jax.block_until_ready(recs[-1])
         times.append(time.time() - t0)
     dt = statistics.median(times)
-    return queue * batch / dt, exact, bpd, analytic_bpd
+
+    # per-phase split for one queue pass: NN+rANS dispatch vs host pack
+    # (encode), decode dispatch vs invariant sync (decode)
+    from finalproject_losslessimagecompression_tpu.codec.container import (
+        pack_streams_many,
+    )
+
+    t0 = time.time()
+    per_batch = [codec._compress_deferred(params, x) for x in xs]
+    flat = [e for encs, _ in per_batch for e in encs]
+    jax.block_until_ready([e.words for e in flat])
+    t_enc_device = time.time() - t0
+    t0 = time.time()
+    blobs = pack_streams_many(flat)
+    t_pack = time.time() - t0
+    n = len(per_batch[0][0])
+    packed2 = [
+        (blobs[i * n : (i + 1) * n], info)
+        for i, (_, info) in enumerate(per_batch)
+    ]
+    t0 = time.time()
+    outs = [codec._decompress_deferred(params, b, i) for b, i in packed2]
+    jax.block_until_ready([x for x, _ in outs])
+    t_dec_device = time.time() - t0
+    t0 = time.time()
+    codec._check_oks([ok for _, oks in outs for ok in oks])
+    t_verify = time.time() - t0
+    phases = {
+        "encode_device_s": round(t_enc_device, 4),
+        "pack_host_s": round(t_pack, 4),
+        "decode_device_s": round(t_dec_device, 4),
+        "verify_sync_s": round(t_verify, 4),
+    }
+    return queue * batch / dt, exact, bpd, analytic_bpd, phases
+
+
+def bench_single_image_latency(cfg, model, params, iters: int = 20):
+    """Non-pipelined single-image compress -> decompress wall clock (the
+    serving latency floor; dominated by dispatch/sync on remote tunnels).
+    Compared against the reference architecture's floor: the serial C++
+    coder's encode+decode time for one image's symbols."""
+    import jax
+
+    from finalproject_losslessimagecompression_tpu.models import FlowCodec
+
+    x = _batches(1, 1, seed=3)[0]
+    codec = FlowCodec(model, num_streams=8192)
+    blobs, info = codec.compress(params, x)  # warm compile
+    rec = codec.decompress(params, blobs, info)
+    assert np.array_equal(np.asarray(rec), np.asarray(x))
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        blobs, info = codec.compress(params, x)
+        rec = codec.decompress(params, blobs, info)
+        jax.block_until_ready(rec)
+        times.append(time.time() - t0)
+    return statistics.median(times)
 
 
 def bench_codec_only(n_symbols: int, iters: int):
-    """Raw interleaved-rANS symbol throughput (encode+decode), device."""
+    """Raw interleaved-rANS symbol throughput (encode+decode) on device,
+    for BOTH backends: Pallas kernels (default on TPU) and the lax.scan
+    path; plus the host-in-the-loop rate (numpy in, containers out)."""
     import jax
+    import jax.numpy as jnp
 
     from finalproject_losslessimagecompression_tpu.codec import (
+        NBINS,
         interleaved_decode,
         interleaved_encode,
+        lower_bin,
+    )
+    from finalproject_losslessimagecompression_tpu.codec import (
+        interleaved as IL,
     )
 
     rng = np.random.default_rng(2)
@@ -131,11 +204,6 @@ def bench_codec_only(n_symbols: int, iters: int):
     scales = np.exp(rng.uniform(-4, 0, n_symbols)).astype(np.float32)
     raw = means + scales * rng.logistic(0, 1, n_symbols).astype(np.float32)
     v = np.round(raw * 256).astype(np.int32)
-    from finalproject_losslessimagecompression_tpu.codec import (
-        NBINS,
-        lower_bin,
-    )
-
     low = lower_bin(means)
     v = np.clip(v, low, low + NBINS - 1)
 
@@ -143,31 +211,41 @@ def bench_codec_only(n_symbols: int, iters: int):
     dec, hi, lo = interleaved_decode(enc, means, scales)
     assert np.array_equal(np.asarray(dec), v)
 
-    # host-in-the-loop throughput (numpy in, containers out)
+    # host-in-the-loop throughput
     t0 = time.time()
     for _ in range(iters):
         enc = interleaved_encode(v, means, scales, num_streams=8192)
         dec, hi, lo = interleaved_decode(enc, means, scales)
     jax.block_until_ready(dec)
-    dt = (time.time() - t0) / iters
-    host_rate = n_symbols / dt
+    host_rate = n_symbols / ((time.time() - t0) / iters)
 
-    # device-resident throughput (data already on device, pipelined --
-    # what a fused serving pipeline sees)
-    import jax.numpy as jnp
-
-    vd = jnp.asarray(v)
-    md = jnp.asarray(means)
-    sd = jnp.asarray(scales)
+    # device-resident throughput per backend
+    S = enc.num_streams
+    k = IL._plan_steps(n_symbols, S)
+    vd, md, sd = jnp.asarray(v), jnp.asarray(means), jnp.asarray(scales)
     jax.block_until_ready((vd, md, sd))
-    dev_iters = max(iters * 5, 10)
-    t0 = time.time()
-    for _ in range(dev_iters):
-        enc = interleaved_encode(vd, md, sd, num_streams=8192)
-        dec, hi, lo = interleaved_decode(enc, md, sd)
-    jax.block_until_ready(dec)
-    dev_rate = n_symbols / ((time.time() - t0) / dev_iters)
-    return host_rate, dev_rate, (v, means, scales)
+    rates = {}
+    backends = {"scan": False}
+    if IL._pallas_ok(S, k):
+        backends["pallas"] = True
+    for name, up in backends.items():
+        be, tot, bh, bl, *_ = IL._encode_scan(vd, md, sd, S, k, up, None)
+        vals, h2, l2, _ = IL._decode_scan(
+            be, tot.astype(jnp.int32), bh, bl, md, sd, S, k, None, None, up
+        )
+        jax.block_until_ready(vals)
+        assert np.array_equal(np.asarray(vals), v)
+        dev_iters = max(iters * 5, 10)
+        t0 = time.time()
+        for _ in range(dev_iters):
+            be, tot, bh, bl, *_ = IL._encode_scan(vd, md, sd, S, k, up, None)
+            vals, h2, l2, _ = IL._decode_scan(
+                be, tot.astype(jnp.int32), bh, bl, md, sd, S, k, None, None,
+                up,
+            )
+        jax.block_until_ready(vals)
+        rates[name] = n_symbols / ((time.time() - t0) / dev_iters)
+    return host_rate, rates, (v, means, scales)
 
 
 def bench_native_baseline(v, means, scales, max_n: int = 300000):
@@ -208,26 +286,36 @@ def main():
         pass
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--full", action="store_true",
-                    help="ImageNet64-class model (long compile)")
     ap.add_argument("--quick", action="store_true",
-                    help="alias for the default small model")
-    ap.add_argument("--batch", type=int, default=64)
+                    help="small model for fast iteration (the default is "
+                    "the flagship ImageNet64-class config)")
+    ap.add_argument("--full", action="store_true",
+                    help="(default) flagship model; kept for back-compat")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="images per batch (default 64 quick / 16 full)")
     ap.add_argument("--queue", type=int, default=4,
                     help="pipelined batches per serving iteration")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
+    quick = args.quick and not args.full
+    batch = args.batch or (64 if quick else 16)
 
     platform = jax.devices()[0].platform
 
-    cfg, model, params = build_model(not args.full)
-    imgs_per_s, exact, bpd, analytic_bpd = bench_e2e(
-        cfg, model, params, args.batch, args.iters, args.queue
+    cfg, model, params = build_model(quick)
+    imgs_per_s, exact, bpd, analytic_bpd, phases = bench_e2e(
+        cfg, model, params, batch, args.iters, args.queue
     )
+    latency_s = bench_single_image_latency(cfg, model, params)
     n_sym = 96 * 64 * 64 * 3  # production-scale message (~1.2M symbols)
-    sym_per_s, dev_sym_per_s, (v, m, s) = bench_codec_only(n_sym, args.iters)
+    sym_per_s, dev_rates, (v, m, s) = bench_codec_only(n_sym, args.iters)
     base = bench_native_baseline(v, m, s)
-    vs_baseline = (dev_sym_per_s / base) if base else None
+    dev_best = max(dev_rates.values())
+    vs_baseline = (dev_best / base) if base else None
+    # reference-architecture latency floor: serial C++ coder on one image's
+    # symbols (no NN -- a lower bound for the reference design)
+    sym_per_img = 64 * 64 * 3
+    native_img_latency = (2.0 * sym_per_img / base) if base else None
 
     out = {
         "metric": "e2e_encode_decode_throughput",
@@ -237,11 +325,22 @@ def main():
         "bit_exact": exact,
         "real_bpd": round(bpd, 4),
         "analytic_bpd": round(analytic_bpd, 4),
+        "single_image_latency_ms": round(latency_s * 1e3, 2),
+        "native_single_image_ms": (
+            round(native_img_latency * 1e3, 2) if base else None
+        ),
         "codec_sym_per_s": round(sym_per_s, 1),
-        "codec_device_sym_per_s": round(dev_sym_per_s, 1),
+        "codec_device_sym_per_s": round(dev_best, 1),
+        "codec_device_scan_sym_per_s": round(dev_rates["scan"], 1),
+        "codec_device_pallas_sym_per_s": (
+            round(dev_rates["pallas"], 1) if "pallas" in dev_rates else None
+        ),
         "native_baseline_sym_per_s": round(base, 1) if base else None,
+        "phases": phases,
+        "batch": batch,
+        "queue": args.queue,
         "platform": platform,
-        "quick": not args.full,
+        "quick": quick,
     }
     print(json.dumps(out))
 

@@ -1,0 +1,87 @@
+"""Scaling-efficiency report: measure sharded-train-step throughput over
+growing sub-meshes and write a JSON artifact.
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python -m finalproject_losslessimagecompression_tpu.cli.scaling \
+      [--out SCALING.json] [--cpu] [--growth 32] [--depth 2] [--batch 2]
+
+On a virtual CPU mesh the honest metric is `overhead` mode (fixed total
+compute; isolates partitioning + collective cost -- all virtual devices
+share the same physical cores, so weak scaling is capped at cores/N
+there); on a real pod slice, `weak` mode measures the ICI north star
+(BASELINE.md: >=85% efficiency 1 -> N).  Both are recorded.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SCALING.json")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (virtual device mesh)")
+    ap.add_argument("--growth", type=int, default=32)
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--nflows", type=int, default=4)
+    ap.add_argument("--nsplit", type=int, default=2)
+    ap.add_argument("--size", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=2,
+                    help="per-device batch")
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..models import CouplingCfg, DenseBlockCfg, FlowCfg, IDFlow
+    from ..parallel.scaling import measure_scaling
+
+    cfg = FlowCfg(
+        H=args.size, W=args.size, C=3, nflows=args.nflows,
+        nsplit=args.nsplit,
+        couple=CouplingCfg(0.75, DenseBlockCfg(args.growth, args.depth,
+                                               "ReLU")),
+        prior_nn=DenseBlockCfg(args.growth, args.depth, "ReLU"),
+    )
+    model = IDFlow(cfg)
+    platform = jax.devices()[0].platform
+    out = {
+        "platform": platform,
+        "n_devices": len(jax.devices()),
+        "physical_cores": os.cpu_count(),
+        "model": {
+            "H": args.size, "W": args.size, "nflows": args.nflows,
+            "nsplit": args.nsplit, "growth": args.growth,
+            "depth": args.depth,
+        },
+        "per_device_batch": args.batch,
+        "note": (
+            "overhead mode: fixed global batch, efficiency isolates "
+            "sharding+collective cost (1.0 = free); weak mode: fixed "
+            "per-device batch, the real-chip north star -- on a virtual "
+            "CPU mesh it is physically capped at cores/N and reported "
+            "for completeness only."
+        ),
+    }
+    for mode in ("overhead", "weak"):
+        res = measure_scaling(
+            model, per_device_batch=args.batch, steps=args.steps, mode=mode
+        )
+        out[mode] = {
+            str(nd): {k: round(v, 4) for k, v in r.items()}
+            for nd, r in res.items()
+        }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,9 +41,30 @@ def build_trainer(config: dict):
 
 
 def main(argv=None):
+    import os
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, required=True)
+    ap.add_argument(
+        "--distributed", action="store_true",
+        help="initialize the jax.distributed multi-host runtime before "
+        "building the trainer (also enabled by LIC_DISTRIBUTED=1); "
+        "coordinator address/process ids come from the standard JAX env "
+        "vars. Pair with `shard: true` on the dataloaders so each host "
+        "draws a disjoint slice of every epoch.",
+    )
     args = ap.parse_args(argv)
+    if args.distributed or os.environ.get("LIC_DISTRIBUTED", "") == "1":
+        from ..parallel.mesh import init_distributed
+
+        init_distributed()
+        import jax
+
+        print(
+            f"jax.distributed: process {jax.process_index()} of "
+            f"{jax.process_count()}, {len(jax.local_devices())} local / "
+            f"{len(jax.devices())} global devices"
+        )
     config = load_config(args.config)
     print(yaml.dump(config))
     t = build_trainer(config)

@@ -212,11 +212,14 @@ def _encode_core(values, means, scales, num_streams: int, steps: int,
     program.  Everything lives in a single jit: under remote-dispatch
     runtimes each eager op costs a host round trip that dwarfs the compute.
 
-    The CDF (transcendentals) is evaluated as a fused elementwise prepass
-    over all [k, S] symbols; the sequential state loop then runs either as
-    a lax.scan or as the Pallas kernel (pallas_rans.py) -- both consume the
-    same precomputed integer (cdf, freq) tiles and produce bit-identical
-    streams.  values/means/scales arrive flat [n]; n <= steps*num_streams.
+    The sequential state loop runs either as a lax.scan over an XLA CDF
+    prepass, or as the grid-pipelined Pallas kernel (pallas_rans.py) which
+    evaluates the CDF in-kernel -- Mosaic's exp is bit-identical to XLA's
+    on TPU (asserted by tests/test_pallas.py), so the two paths produce
+    bit-identical streams.  Integer window bounds and out-of-window
+    clamping are always computed here (XLA) so the container side channel
+    stays in sync with the coded stream regardless of path.
+    values/means/scales arrive flat [n]; n <= steps*num_streams.
 
     `seeds` ([S] uint32, optional) implements bits-back stream
     initialization: states start at 2^32 | seed instead of 2^32, so the
@@ -242,22 +245,24 @@ def _encode_core(values, means, scales, num_streams: int, steps: int,
     oow = (v_clamped != v).reshape(-1)
     oow_count = jnp.sum(oow.astype(jnp.int32))
 
-    # fused elementwise CDF prepass (kept out of the Pallas kernel so the
-    # exp implementation is shared with the decoder)
-    c_start = _cdf_u32(v_clamped - 1, m, s, lower)
-    f_all = _cdf_u32(v_clamped, m, s, lower) - c_start
-
-    lo0 = (
-        jnp.zeros((S,), _U)
-        if seeds is None
-        else jnp.asarray(seeds, _U).reshape(S)
-    )
-    if use_pallas and seeds is None:
+    if use_pallas:
+        # the kernel evaluates the CDF itself (Mosaic exp measured
+        # bit-identical to XLA exp on TPU; tests/test_pallas.py asserts it)
         from .pallas_rans import pallas_encode_core
 
-        words, flags_i, hi, lo = pallas_encode_core(c_start, f_all, S, k)
+        words, flags_i, hi, lo = pallas_encode_core(
+            v_clamped, m, s, lower, S, k, seeds
+        )
         flags = flags_i != 0
     else:
+        # fused elementwise CDF prepass + lax.scan state loop
+        c_start = _cdf_u32(v_clamped - 1, m, s, lower)
+        f_all = _cdf_u32(v_clamped, m, s, lower) - c_start
+        lo0 = (
+            jnp.zeros((S,), _U)
+            if seeds is None
+            else jnp.asarray(seeds, _U).reshape(S)
+        )
         hi0 = jnp.ones((S,), _U)  # initial state = 2^32 | seed (coder.py:18)
         (hi, lo), (words_t, emit_t) = jax.lax.scan(
             _encode_step, (hi0, lo0), (c_start, f_all)
@@ -305,21 +310,24 @@ def _plan_steps(n: int, S: int) -> int:
     return -(-k // STEP_QUANTUM) * STEP_QUANTUM
 
 
+# Pallas kernels are ON by default on TPU for supported shapes (bit-exact
+# round-trips verified on hardware, tests/test_pallas.py); LIC_NO_PALLAS=1
+# is the escape hatch, and any Mosaic compile failure disables them for
+# the rest of the process (_disable_pallas).
 _PALLAS_DISABLED = [os.environ.get("LIC_NO_PALLAS", "") == "1"]
-# The Pallas kernel is bit-identical to the scan path and similar in
-# runtime, but each (S, k) shape pays a separate Mosaic compile -- on
-# remote-compile runtimes that costs minutes per shape, so it is opt-in.
-_PALLAS_OPT_IN = [os.environ.get("LIC_USE_PALLAS", "") == "1"]
 
 
 def _pallas_ok(S: int, k: int) -> bool:
-    if _PALLAS_DISABLED[0] or not _PALLAS_OPT_IN[0]:
+    if _PALLAS_DISABLED[0]:
         return False
-    if jax.default_backend() != "tpu":
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return False
+    except Exception:
         return False
-    from .pallas_rans import pallas_encode_supported
+    from .pallas_rans import pallas_supported
 
-    return pallas_encode_supported(S, k)
+    return pallas_supported(S, k)
 
 
 def _disable_pallas() -> None:
@@ -370,7 +378,7 @@ def interleaved_encode(
     n = int(np.prod(np.shape(values)))
     S = pick_num_streams(n, num_streams, sym_per_stream)
     k = _plan_steps(n, S)
-    use_pallas = _pallas_ok(S, k) and seeds is None
+    use_pallas = _pallas_ok(S, k)
     try:
         buf, total, hi, lo, oow_count, oow, v_orig = _encode_scan(
             values, means, scales, S, k, use_pallas, seeds
@@ -444,44 +452,30 @@ def _decode_step(carry, xs, *, buf):
     mod = lo & MASK24
     lower = _lower_bin(mean)
 
-    # Radix-8 search for the smallest v with CDF(v) > mod.  Invariant: the
-    # anchor a satisfies CDF(a) <= mod (true initially for a = lower - 1 on
-    # any valid stream) and the answer lies in (a, a + span]; rounds narrow
-    # span 2048 -> 256 -> 32 -> 4 -> 1, each as ONE wide batched CDF call.
-    # The anchor's CDF is carried through the rounds (a gather from the
-    # probe tile instead of a fresh transcendental), and the final round's
-    # extra probe supplies CDF(v) -- so a symbol costs 1 + 7 + 7 + 7 + 4 =
-    # 26 CDF evaluations total, vs 13*2 + 2 for a bitwise binary search
-    # plus edge re-evaluation.  The CDF (one exp each) is what the decode
-    # loop spends its VPU cycles on, so fewer evals is the lever.
+    # Bitwise binary search for the smallest v with CDF(v) > mod.
+    # Invariant: the anchor a satisfies CDF(a) <= mod (true initially for
+    # a = lower - 1 on any valid stream) and the answer lies in
+    # (a, a + span]; 11 halvings of span = 2048 pin it, then one final
+    # eval supplies CDF(v).  Total: 1 + 11 + 1 = 13 CDF evaluations per
+    # symbol.  At wide stream counts the VPU is THROUGHPUT-bound on the
+    # CDF's exp (not dependency-depth-bound), so minimizing total evals is
+    # the lever -- this replaced a radix-8 schedule (26 evals) for ~2x
+    # decode throughput.  (Reference decode: an 11-step serial binary
+    # search per symbol on the CPU, rans/rans.pyx:87-104.)
     a = lower - jnp.int32(1)
     c_a = _cdf_u32(a, mean, scale, lower)
-    cds = le = None
-    for nprobe, stride in ((7, 256), (7, 32), (7, 4), (4, 1)):
-        offs = (
-            jnp.arange(1, nprobe + 1, dtype=jnp.int32)[:, None] * stride
-        )  # [P, 1]
-        vs = a[None, :] + offs  # [P, S]
-        cds = _cdf_u32(vs, mean[None, :], scale[None, :], lower[None, :])
-        le = cds <= mod[None, :]
-        cnt = jnp.sum(le.astype(jnp.int32), axis=0)
-        # CDF of the new anchor a + cnt*stride: the LARGEST probe with
-        # cds <= mod (or the old anchor when cnt == 0).  A masked max, not
-        # a gather -- per-lane dynamic gathers are slow on the VPU, while
-        # max(where(le, cds, 0)) is pure elementwise+reduce and exploits
-        # that CDF is monotone over the probes.
-        c_a = jnp.maximum(
-            c_a, jnp.max(jnp.where(le, cds, _U(0)), axis=0)
-        )
-        a = a + cnt * stride
+    span = NBINS
+    while span > 1:
+        span //= 2
+        p = a + jnp.int32(span)
+        cd = _cdf_u32(p, mean, scale, lower)
+        le = cd <= mod
+        a = jnp.where(le, p, a)
+        c_a = jnp.where(le, cd, c_a)
     v = a + jnp.int32(1)
-
-    # last round had stride 1 and 4 probes; the bracket guarantees
-    # CDF(a_old + 4) > mod so cnt <= 3, and CDF(v) is probe index cnt --
-    # the SMALLEST probe with cds > mod (masked min; gather-free)
+    c_hi = _cdf_u32(v, mean, scale, lower)
+    f = c_hi - c_a
     c_lo = c_a
-    c_hi = jnp.min(jnp.where(le, _U(0xFFFFFFFF), cds), axis=0)
-    f = c_hi - c_lo
 
     # state = (state >> 24) * f + mod - cdf
     t_lo = (hi << 8) | (lo >> 24)
@@ -497,7 +491,8 @@ def _decode_step(carry, xs, *, buf):
 
 
 def _decode_core(buf, num_words, hi, lo, means, scales,
-                 num_streams: int, steps: int, fill=None, donated=None):
+                 num_streams: int, steps: int, fill=None, donated=None,
+                 use_pallas: bool = False):
     S, k = num_streams, steps
     n = int(np.prod(means.shape))
     m = _layout(jnp.asarray(means, jnp.float32), n, S, k, PAD_MEAN)
@@ -515,6 +510,18 @@ def _decode_core(buf, num_words, hi, lo, means, scales,
             donated, jnp.int32
         )
         buf = jnp.where(sel, filled, buf)
+    if use_pallas:
+        from .pallas_rans import pallas_decode_core
+
+        # the window lower bound is computed by XLA on BOTH ends (encode
+        # prepass and here), so kernel float-rounding skew cannot shift it
+        lower = jnp.round(m * jnp.float32(GRID)).astype(jnp.int32) - (
+            jnp.int32(NBINS // 2)
+        )
+        vals, hi, lo = pallas_decode_core(
+            buf, num_words, hi, lo, m, s, lower, S, k
+        )
+        return vals.reshape(-1)[:n], hi, lo, jnp.int32(0)
     # pad by S so the refill chunk slice (start = ptr - cnt, size S) never
     # clamps while ptr is within the real buffer
     buf = jnp.concatenate([buf, jnp.zeros((S,), jnp.uint32)])
@@ -526,7 +533,7 @@ def _decode_core(buf, num_words, hi, lo, means, scales,
 
 
 _decode_scan = partial(
-    jax.jit, static_argnames=("num_streams", "steps")
+    jax.jit, static_argnames=("num_streams", "steps", "use_pallas")
 )(_decode_core)
 
 
@@ -549,7 +556,8 @@ def interleaved_decode(
     nw = enc.num_words
     if not isinstance(nw, jax.Array):
         nw = np.int32(nw)
-    vals, hi, lo, ptr = _decode_scan(
+    use_pallas = _pallas_ok(S, k)
+    args = (
         enc.words,
         nw,
         enc.state_hi,
@@ -561,4 +569,11 @@ def interleaved_decode(
         fill,
         None if fill is None else np.int32(enc.donated),
     )
+    try:
+        vals, hi, lo, ptr = _decode_scan(*args, use_pallas)
+    except Exception:
+        if not use_pallas:
+            raise
+        _disable_pallas()  # Mosaic rejected the kernel; scan is bit-compatible
+        vals, hi, lo, ptr = _decode_scan(*args, False)
     return vals, hi, lo

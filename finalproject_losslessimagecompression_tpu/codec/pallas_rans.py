@@ -1,52 +1,166 @@
-"""Pallas TPU kernel for the rANS encode inner loop.
+"""Pallas TPU kernels for the interleaved rANS codec: encode AND decode.
 
-The encode is split so the kernel stays bit-compatible with the XLA decode
-path:
-- CDF evaluation (exp/sigmoid) runs as a fused XLA elementwise prepass over
-  all [k, S] symbols -- transcendental implementations may differ between
-  Mosaic and XLA, so they are kept OUT of the kernel;
-- the Pallas kernel advances all S states through the k sequential steps:
-  renormalization + the division-free base-2^16 state update.  The
-  float-assisted division (interleaved._div_digit) is exactly corrected in
-  integer arithmetic, so its result is identical on any backend -- the
-  kernel's output streams are bit-identical to the lax.scan path (tested).
+Replaces the reference's serial Cython/C++ coder (reference:
+rans/rans.pyx:49-110) with lane-parallel Mosaic kernels that advance all S
+streams in lockstep, grid-pipelined over step chunks so messages of any
+length stream through VMEM (inputs/outputs are double-buffered HBM<->VMEM
+by the Pallas pipeline; carried stream states live in VMEM scratch across
+grid iterations).
 
-Layout: states live in VMEM as [S/128, 128] uint32 tiles (full VPU lanes);
-per-step (cdf, freq) tiles are read from VMEM and emitted (word, flag)
-tiles written back, with the global (t, s)-order compaction done by the
-same XLA epilogue as the scan path.
+Backend contract: the quantized CDF (codec/cdf.py) is evaluated by
+`jnp.exp` INSIDE the kernels, so a Pallas-encoded message must be decoded
+by the Pallas kernel (and a lax.scan-encoded one by the scan path) -- the
+pairing is guaranteed by a single `pallas_supported(S, k)` predicate both
+directions evaluate identically.  Integer-side quantities that feed the
+container's side channels (window lower bound, out-of-window clamping) are
+precomputed by XLA and passed in, so kernel/XLA float-rounding skew cannot
+desynchronize the escape metadata from the coded stream.
 
-Falls back to the lax.scan path when shapes don't fit (S not a multiple of
-128, or buffers exceeding the VMEM budget) or when Mosaic rejects the
-kernel at compile time.
+Encode (reference semantics rans/rans.pyx:49-67):
+  per step, per stream: renormalize (emit low 32 bits when
+  state >= freq << 40), then state = (state//f) << 24 + state%f + cdf.
+  The uint64 state is a (hi, lo) uint32 limb pair; the division is the
+  float-assisted base-2^16 long division of interleaved._div_digit, exactly
+  corrected in integer arithmetic (bit-identical on any backend).
+
+Decode (reference semantics rans/rans.pyx:85-109):
+  per step (walked in reverse), per stream: refill (state < 2^32 pops one
+  word off the tail of the shared buffer, in ascending stream order --
+  realized gather-free as a run-length expand via log-shift stages), then
+  a radix-8 search over the 2048-bin window for the symbol whose CDF
+  interval contains state & 0xFFFFFF, then
+  state = (state >> 24) * f + mod - cdf.  The whole (zero-padded) word
+  buffer is VMEM-resident; `pallas_supported` bounds its size.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .cdf import _HALF_BIN, _INV_GRID, _PMAX
+
 _U = jnp.uint32
+_I = jnp.int32
 LANES = 128
-VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom below ~16MB/core
+ENC_CHUNK = 16  # steps per encode grid chunk (k is a multiple of 16)
+DEC_CHUNK = 8  # steps per decode grid chunk
+VMEM_BUDGET = 10 * 1024 * 1024  # headroom below ~16MB/core
 
 
-def _div_digit_kernel(r, ni, f, rcp):
-    """Same contract as interleaved._div_digit (exact for any rcp within
-    +-3 of 1/f); duplicated here so the kernel has no module cycles.
-    Mosaic lacks uint32<->float32 casts, so conversions route through
-    int32 (all values involved are < 2^31, so the detour is exact)."""
+def _ceil_log2(x: int) -> int:
+    return max(1, (x - 1).bit_length())
+
+
+# ---------------------------------------------------------------------------
+# tile helpers: flattened row-major shifts over (R, 128) uint32 tiles
+# ---------------------------------------------------------------------------
+
+
+def _rows_down(x, rows: int):
+    """result[r] = x[r - rows], zero-filled (static row count)."""
+    if rows == 0:
+        return x
+    if rows >= x.shape[0]:
+        return jnp.zeros_like(x)
+    z = jnp.zeros((rows,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([z, x[:-rows]], axis=0)
+
+
+def _rows_up(x, rows: int):
+    if rows == 0:
+        return x
+    if rows >= x.shape[0]:
+        return jnp.zeros_like(x)
+    z = jnp.zeros((rows,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x[rows:], z], axis=0)
+
+
+def _flat_right(x, b: int, col):
+    """result.flat[i] = x.flat[i - b] over row-major (R, 128); static b."""
+    rows, cols = divmod(b, LANES)
+    y = _rows_down(x, rows)
+    if cols == 0:
+        return y
+    rolled = pltpu.roll(y, cols, 1)
+    rolled_prev = pltpu.roll(_rows_down(y, 1), cols, 1)
+    return jnp.where(col >= cols, rolled, rolled_prev)
+
+
+def _flat_left(x, b: int, col):
+    """result.flat[i] = x.flat[i + b] over row-major (R, 128); static b."""
+    rows, cols = divmod(b, LANES)
+    y = _rows_up(x, rows)
+    if cols == 0:
+        return y
+    rolled = pltpu.roll(y, LANES - cols, 1)
+    rolled_next = pltpu.roll(_rows_up(y, 1), LANES - cols, 1)
+    return jnp.where(col < LANES - cols, rolled, rolled_next)
+
+
+def _flat_left_dyn(x, amt, maxbits: int, col):
+    """Left shift by a runtime scalar amount, as gated static stages."""
+    for bit in range(maxbits - 1, -1, -1):
+        b = 1 << bit
+        x = jnp.where((amt & b) != 0, _flat_left(x, b, col), x)
+    return x
+
+
+def _flat_cumsum_excl(x, col):
+    """Exclusive prefix sum of an int32 (R, 128) tile in row-major order:
+    a flat Hillis-Steele scan of log-shift adds (full-width tiles only --
+    Mosaic rejects concats of (R, 1) slivers)."""
+    orig = x
+    n = x.shape[0] * LANES
+    for bit in range(_ceil_log2(n)):
+        x = x + _flat_right(x, 1 << bit, col)
+    return x - orig
+
+
+def _expand_by_rank(z, rank, S: int, col):
+    """result.flat[s] = z.flat[rank.flat[s]] where rank is non-decreasing
+    with unit steps (a run-length expand): off = s - rank is non-decreasing,
+    so conditional backward log-shifts realize the gather on the VPU."""
+    sidx = jax.lax.broadcasted_iota(_I, z.shape, 0) * LANES + col
+    rem = sidx - rank
+    x = z
+    for bit in range(_ceil_log2(S) - 1, -1, -1):
+        b = 1 << bit
+        take = rem >= b
+        x = jnp.where(take, _flat_right(x, b, col), x)
+        rem = jnp.where(take, rem - b, rem)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# in-kernel CDF + limb arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _cdf_k(v, mean, scale, lower):
+    """codec/cdf.py formula; uint32 casts detour through int32 (Mosaic has
+    no uint32<->float casts; every value here is < 2^31 so it is exact)."""
+    vf = v.astype(jnp.float32) * _INV_GRID
+    t = (vf + _HALF_BIN - mean) / scale
+    sig = jnp.float32(1.0) / (jnp.float32(1.0) + jnp.exp(-t))
+    part1 = jnp.round(sig * _PMAX).astype(_I)
+    part2 = v - lower + _I(1)
+    return (part1 + part2).astype(_U)
+
+
+def _div_digit_k(r, ni, f, rcp):
+    """One base-2^16 long-division digit (same contract and exactness proof
+    as interleaved._div_digit; float-estimated, integer-corrected)."""
     acc_f = (
-        r.astype(jnp.int32).astype(jnp.float32) * jnp.float32(65536.0)
-        + ni.astype(jnp.int32).astype(jnp.float32)
+        r.astype(_I).astype(jnp.float32) * jnp.float32(65536.0)
+        + ni.astype(_I).astype(jnp.float32)
     )
     acc_lo = (r << 16) | ni
-    d = (acc_f * rcp).astype(jnp.int32).astype(_U)
-    rem = (acc_lo - d * f).astype(jnp.int32)
-    fi = f.astype(jnp.int32)
+    d = (acc_f * rcp).astype(_I).astype(_U)
+    rem = (acc_lo - d * f).astype(_I)
+    fi = f.astype(_I)
     for _ in range(3):
         neg = rem < 0
         d = jnp.where(neg, d - _U(1), d)
@@ -57,34 +171,56 @@ def _div_digit_kernel(r, ni, f, rcp):
     return d, rem.astype(_U)
 
 
-def _encode_kernel(cdf_ref, freq_ref, rcp_ref, words_ref, flags_ref,
-                   hi_ref, lo_ref):
-    k = cdf_ref.shape[0]
-    sr = cdf_ref.shape[1]
+def _umul32_k(a, b):
+    a0 = a & _U(0xFFFF)
+    a1 = a >> 16
+    b0 = b & _U(0xFFFF)
+    b1 = b >> 16
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    mid = lh + hl
+    hh = hh + ((mid < lh).astype(_U) << 16)
+    lo = ll + (mid << 16)
+    hh = hh + (lo < ll).astype(_U)
+    return hh + (mid >> 16), lo
 
-    hi0 = jnp.ones((sr, LANES), _U)
-    lo0 = jnp.zeros((sr, LANES), _U)
+
+# ---------------------------------------------------------------------------
+# encode kernel
+# ---------------------------------------------------------------------------
+
+
+def _encode_kernel(v_ref, m_ref, s_ref, low_ref, seed_ref,
+                   words_ref, flags_ref, hi_ref, lo_ref, shi, slo):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        shi[...] = jnp.ones(shi.shape, _U)  # initial state = 2^32 | seed
+        slo[...] = seed_ref[...]
 
     def body(t, carry):
         hi, lo = carry
-        c0 = cdf_ref[t]
-        f = freq_ref[t]
-        rcp = rcp_ref[t]
+        v = v_ref[t]
+        m = m_ref[t]
+        s = s_ref[t]
+        low = low_ref[t]
+        c0 = _cdf_k(v - _I(1), m, s, low)
+        f = _cdf_k(v, m, s, low) - c0
+        rcp = jnp.float32(1.0) / f.astype(_I).astype(jnp.float32)
 
-        emit = hi >= (f << 8)
+        emit = hi >= (f << 8)  # state >= f << 40
         words_ref[t] = jnp.where(emit, lo, _U(0))
-        flags_ref[t] = emit.astype(jnp.int32)
+        flags_ref[t] = emit.astype(_I)
         lo = jnp.where(emit, hi, lo)
         hi = jnp.where(emit, _U(0), hi)
 
-        # state = ((state // f) << 24) + state % f + cdf  (division-free)
-        n3 = hi >> 16
-        n2 = hi & _U(0xFFFF)
-        n1 = lo >> 16
-        n0 = lo & _U(0xFFFF)
-        d2, r = _div_digit_kernel(n3, n2, f, rcp)
-        d1, r = _div_digit_kernel(r, n1, f, rcp)
-        d0, r = _div_digit_kernel(r, n0, f, rcp)
+        # state = ((state // f) << 24) + state % f + cdf
+        d2, r = _div_digit_k(hi >> 16, hi & _U(0xFFFF), f, rcp)
+        d1, r = _div_digit_k(r, lo >> 16, f, rcp)
+        d0, r = _div_digit_k(r, lo & _U(0xFFFF), f, rcp)
         q_lo = (d1 << 16) | d0
         add = r + c0
         new_lo = (q_lo << 24) + add
@@ -92,52 +228,230 @@ def _encode_kernel(cdf_ref, freq_ref, rcp_ref, words_ref, flags_ref,
         new_hi = (d2 << 24) + (q_lo >> 8) + carry_bit
         return new_hi, new_lo
 
-    hi, lo = jax.lax.fori_loop(0, k, body, (hi0, lo0))
+    hi, lo = jax.lax.fori_loop(0, v_ref.shape[0], body, (shi[...], slo[...]))
+    shi[...] = hi
+    slo[...] = lo
     hi_ref[...] = hi
     lo_ref[...] = lo
 
 
-def pallas_encode_supported(S: int, k: int) -> bool:
-    if S % LANES != 0:
-        return False
-    # cdf/freq/rcp in + words/flags out, all [k, S] x 4 bytes
-    if 5 * k * S * 4 > VMEM_BUDGET:
-        return False
-    return True
-
-
-def pallas_encode_core(cdf, freq, S: int, k: int):
-    """(cdf, freq): [k, S] uint32 per-symbol interval start / frequency.
-    Returns (words [k*S] uint32, flags [k*S] int32, hi [S], lo [S]) in the
-    same layout as the lax.scan path."""
+def pallas_encode_core(v, m, s, lower, S: int, k: int, seeds=None):
+    """v/m/s/lower: [k, S] padded-layout tiles (v already window-clamped by
+    the XLA prepass).  Returns (words [k*S] u32, flags [k*S] i32, hi [S],
+    lo [S]) bit-identical in layout to the lax.scan path."""
     sr = S // LANES
-    cdf3 = cdf.reshape(k, sr, LANES)
-    freq3 = freq.reshape(k, sr, LANES)
-    # rcp computed outside the kernel (XLA): freq < 2^24 is exact in f32
-    rcp3 = jnp.float32(1.0) / freq3.astype(jnp.int32).astype(jnp.float32)
+    shape3 = (k, sr, LANES)
+    if seeds is None:
+        seeds = jnp.zeros((S,), _U)
+    chunk = lambda idx: pl.BlockSpec(  # noqa: E731
+        (ENC_CHUNK, sr, LANES), lambda i: (i, 0, 0),
+        memory_space=pltpu.VMEM) if idx else pl.BlockSpec(
+        (sr, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
     words, flags, hi, lo = pl.pallas_call(
         _encode_kernel,
+        grid=(k // ENC_CHUNK,),
+        in_specs=[chunk(1), chunk(1), chunk(1), chunk(1), chunk(0)],
+        out_specs=(chunk(1), chunk(1), chunk(0), chunk(0)),
         out_shape=(
-            jax.ShapeDtypeStruct((k, sr, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((k, sr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct(shape3, jnp.uint32),
+            jax.ShapeDtypeStruct(shape3, jnp.int32),
             jax.ShapeDtypeStruct((sr, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((sr, LANES), jnp.uint32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((sr, LANES), jnp.uint32),
+            pltpu.VMEM((sr, LANES), jnp.uint32),
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
-    )(cdf3, freq3, rcp3)
+    )(
+        v.reshape(shape3),
+        m.reshape(shape3),
+        s.reshape(shape3),
+        lower.reshape(shape3),
+        jnp.asarray(seeds, _U).reshape(sr, LANES),
+    )
     return (
         words.reshape(k * S),
         flags.reshape(k * S),
         hi.reshape(S),
         lo.reshape(S),
     )
+
+
+# ---------------------------------------------------------------------------
+# decode kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(nw_ref, m_ref, s_ref, low_ref, buf_ref, hi0_ref, lo0_ref,
+                   vals_ref, hi_ref, lo_ref, shi, slo, sptr):
+    i = pl.program_id(0)
+    sr = shi.shape[0]
+    S = sr * LANES
+    W = S + LANES  # window elements (sr + 1 rows)
+    maxbits = _ceil_log2(W)
+
+    @pl.when(i == 0)
+    def _():
+        shi[...] = hi0_ref[...]
+        slo[...] = lo0_ref[...]
+        sptr[0] = nw_ref[0]
+
+    col2 = jax.lax.broadcasted_iota(_I, (sr, LANES), 1)
+    colw = jax.lax.broadcasted_iota(_I, (sr + 1, LANES), 1)
+
+    def body(j, carry):
+        hi, lo, ptr = carry
+        t = m_ref.shape[0] - 1 - j  # steps walk in reverse
+        m = m_ref[t]
+        s = s_ref[t]
+        lower = low_ref[t]
+
+        # ---- refill: streams with hi == 0 pop, in ascending stream order,
+        # the last cnt words of the remaining buffer (positions
+        # ptr - cnt .. ptr - 1).  Gather-free: word[s] = win[off0 + rank[s]]
+        # with off0 = ptr - cnt - w0 and rank the exclusive prefix sum of
+        # the refill mask -- a dynamic flat shift + run-length expand.
+        need = hi == _U(0)
+        need_i = need.astype(_I)
+        rank = _flat_cumsum_excl(need_i, col2)
+        cnt = jnp.sum(need_i)
+        w0row = jnp.maximum(ptr - S, 0) >> 7  # 128-aligned window start row
+        win = buf_ref[pl.ds(w0row, sr + 1), :]  # (sr + 1, LANES)
+        off0 = ptr - cnt - w0row * LANES
+        z = _flat_left_dyn(win, off0, maxbits, colw)[:sr]
+        word = _expand_by_rank(z, rank, S, col2)
+        hi = jnp.where(need, lo, hi)
+        lo = jnp.where(need, word, lo)
+        ptr = ptr - cnt
+
+        mod = lo & _U(0xFFFFFF)
+
+        # ---- bitwise binary search for the smallest v with CDF(v) > mod
+        # (same 13-eval schedule and comparisons as the scan path, so both
+        # backends decode identical values; see interleaved._decode_step)
+        a = lower - _I(1)
+        c_a = _cdf_k(a, m, s, lower)
+        span = 2048
+        while span > 1:
+            span //= 2
+            p_v = a + _I(span)
+            cd = _cdf_k(p_v, m, s, lower)
+            le = cd <= mod
+            a = jnp.where(le, p_v, a)
+            c_a = jnp.where(le, cd, c_a)
+        v = a + _I(1)
+        c_hi = _cdf_k(v, m, s, lower)
+        f = c_hi - c_a
+
+        # ---- state = (state >> 24) * f + mod - cdf
+        t_lo = (hi << 8) | (lo >> 24)
+        t_hi = hi >> 24
+        p_hi, p_lo = _umul32_k(t_lo, f)
+        p_hi = p_hi + t_hi * f
+        delta = (mod - c_a).astype(_I)
+        new_lo = p_lo + delta.astype(_U)
+        carry_bit = (new_lo < p_lo).astype(_U)
+        sign_ext = jnp.where(delta < _I(0), _U(0xFFFFFFFF), _U(0))
+        new_hi = p_hi + sign_ext + carry_bit
+
+        vals_ref[t] = v
+        return new_hi, new_lo, ptr
+
+    hi, lo, ptr = jax.lax.fori_loop(
+        0, m_ref.shape[0], body, (shi[...], slo[...], sptr[0])
+    )
+    shi[...] = hi
+    slo[...] = lo
+    sptr[0] = ptr
+    hi_ref[...] = hi
+    lo_ref[...] = lo
+
+
+def pallas_decode_core(buf, num_words, hi, lo, m, s, lower, S: int, k: int):
+    """buf: [k*S + S] u32 word buffer (zero-padded; bits-back holes already
+    filled); num_words: i32 scalar; hi/lo: [S] initial states; m/s/lower:
+    [k, S] padded-layout parameter tiles.  Returns (vals [k, S] i32,
+    hi [S], lo [S])."""
+    sr = S // LANES
+    shape3 = (k, sr, LANES)
+    nchunks = k // DEC_CHUNK
+    # grid walks chunks in reverse; in-kernel loop walks steps in reverse
+    # (index maps take (grid_idx, *scalar_prefetch_refs))
+    rev = lambda i, *_: (nchunks - 1 - i, 0, 0)  # noqa: E731
+    full = lambda i, *_: (0, 0)  # noqa: E731
+    chunk3 = lambda: pl.BlockSpec(  # noqa: E731
+        (DEC_CHUNK, sr, LANES), rev, memory_space=pltpu.VMEM)
+    # pad the buffer so the (sr + 1)-row refill window slice never reads
+    # out of bounds: rows = cap/128 + sr + 1
+    cap = k * S
+    bufp = jnp.concatenate(
+        [jnp.asarray(buf, _U).reshape(-1)[:cap],
+         jnp.zeros((S + LANES,), _U)]
+    )
+    bufp = bufp.reshape(cap // LANES + sr + 1, LANES)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            chunk3(),
+            chunk3(),
+            chunk3(),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole word buffer
+            pl.BlockSpec((sr, LANES), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sr, LANES), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            chunk3(),
+            pl.BlockSpec((sr, LANES), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sr, LANES), full, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((sr, LANES), jnp.uint32),
+            pltpu.VMEM((sr, LANES), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    vals, hi_f, lo_f = pl.pallas_call(
+        _decode_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(shape3, jnp.int32),
+            jax.ShapeDtypeStruct((sr, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((sr, LANES), jnp.uint32),
+        ),
+    )(
+        jnp.asarray(num_words, jnp.int32).reshape(1),
+        m.reshape(shape3),
+        s.reshape(shape3),
+        lower.reshape(shape3),
+        bufp,
+        jnp.asarray(hi, _U).reshape(sr, LANES),
+        jnp.asarray(lo, _U).reshape(sr, LANES),
+    )
+    return vals.reshape(k, S), hi_f.reshape(S), lo_f.reshape(S)
+
+
+# ---------------------------------------------------------------------------
+# support predicate (MUST be identical for encode and decode: the Mosaic
+# and XLA transcendentals are not assumed bit-equal, so a message is only
+# decodable by the backend that encoded it -- both directions derive the
+# backend from this one function of (S, k))
+# ---------------------------------------------------------------------------
+
+
+def pallas_supported(S: int, k: int) -> bool:
+    if S % LANES != 0:
+        return False
+    if k % ENC_CHUNK != 0 or k % DEC_CHUNK != 0:
+        return False
+    # decode holds the whole word buffer in VMEM plus double-buffered
+    # parameter/output chunks and a handful of (sr, LANES) temporaries
+    buf_bytes = (k * S + S + LANES) * 4
+    stream_bytes = 2 * DEC_CHUNK * S * 16
+    if buf_bytes + stream_bytes > VMEM_BUDGET:
+        return False
+    return True
+
+
+def pallas_encode_supported(S: int, k: int) -> bool:  # back-compat alias
+    return pallas_supported(S, k)

@@ -125,6 +125,7 @@ class FlowCodec:
         from ..codec.interleaved import (
             _decode_core,
             _encode_core,
+            _pallas_ok,
             _plan_steps,
             pick_num_streams,
         )
@@ -174,7 +175,7 @@ class FlowCodec:
                 k = self._plan_steps(v.shape[0], S)
                 o = _encode_core(
                     v, mean.reshape(-1), jnp.exp(logscale).reshape(-1),
-                    S, k, False, seeds
+                    S, k, _pallas_ok(S, k), seeds
                 )
                 outs.append(o)
                 if not last:
@@ -236,7 +237,7 @@ class FlowCodec:
                 vals, hi2, lo2, _ = _decode_core(
                     buf_l, num_words[i], his[i], los[i],
                     mean.reshape(-1), jnp.exp(logscale).reshape(-1),
-                    S, k,
+                    S, k, use_pallas=_pallas_ok(S, k),
                 )
                 # a seeded level (level > 0) verifies hi == 1 plus lo == 0
                 # past the donor's donated count; its seeded-lo prefix is
@@ -265,6 +266,11 @@ class FlowCodec:
                 x = unfold_batch(x, cfg.C)
             return x, jnp.stack(oks)
 
+        # raw (unjitted) pipelines, reused by parallel.flow_codec's
+        # shard_map kernels so the per-device program is EXACTLY the
+        # single-chip one (containers come out byte-identical per shard)
+        self.compress_pipeline = _compress_all
+        self.decompress_pipeline = _decompress_all
         self._compress_all = jax.jit(_compress_all, static_argnums=(3,))
         self._decompress_all = jax.jit(_decompress_all, static_argnums=(9,))
 

@@ -46,9 +46,17 @@ def make_mesh(
 
 
 def init_distributed(**kwargs) -> None:
-    """Multi-host runtime init (jax.distributed); no-op when single-process
-    or already initialized."""
+    """Multi-host runtime init (jax.distributed).
+
+    Called by cli/train.py when --distributed / LIC_DISTRIBUTED=1 is set
+    (coordinator address etc. come from the standard JAX env vars or
+    kwargs).  Tolerates exactly one condition -- an already-initialized
+    runtime (idempotent re-entry); any real failure propagates, because a
+    host silently falling back to single-process mode would desync the
+    training fleet."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise

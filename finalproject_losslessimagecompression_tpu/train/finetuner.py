@@ -19,8 +19,9 @@ import optax
 from ..models.config import FlowCfg
 from ..models.idflow import IDFlow, log_likelihood
 from ..registry import DATALOADERS, TRAINERS, build
-from .checkpoint import load_raw
+from .checkpoint import load_checkpoint, load_raw, save_checkpoint
 from .metrics import MetricsWriter
+from .optim import build_optimizer
 
 LOG2 = math.log(2.0)
 
@@ -41,8 +42,9 @@ class Finetuner:
         save_path: str,
         writer_path: str,
         fine_tune: bool = False,
-        fine_tune_lr: float = 1e-3,
+        fine_tune_lr: float = None,
         seed: int = 0,
+        resume: bool = False,
     ):
         model = dict(model)
         load_path = model.pop("load_path", None)
@@ -52,6 +54,8 @@ class Finetuner:
         self.testloader = build(DATALOADERS, test_dataloader)
         self.max_step = max_step
         self.evaluate_interval = evaluate_interval
+        self.save_interval = save_interval
+        self.save_path = save_path
         self.writer = MetricsWriter(writer_path)
         self.step = 0
         self.fine_tune = fine_tune
@@ -66,8 +70,18 @@ class Finetuner:
         self.tuner = jnp.zeros(
             (self.cfg.H, self.cfg.W, self.cfg.C), jnp.float32
         )
-        self.tuner_opt = optax.adam(fine_tune_lr)
+        # the tuner's optimizer honors the config's optimizer/scheduler;
+        # fine_tune_lr overrides with the reference's plain Adam(lr)
+        # semantics (reference: trainer.py:772-775)
+        if fine_tune_lr is not None:
+            self.tuner_opt = optax.adam(fine_tune_lr)
+        else:
+            self.tuner_opt = build_optimizer(
+                optimizer, scheduler, step_per_epoch
+            )
         self.tuner_state = self.tuner_opt.init(self.tuner)
+        if resume:
+            self.restore(self.save_path)
 
         cfg = self.cfg
 
@@ -86,6 +100,26 @@ class Finetuner:
 
         self.eval_loss = jax.jit(loss_fn)
         self.tune_step = tune_step
+
+    # -- checkpointing: the tuner tensor IS the trained artifact of a
+    # fine-tuning run, so it (plus its optimizer state) is saved/restored;
+    # the reference never persisted it (trainer.py:784-793) --------------
+
+    def _state(self):
+        return {
+            "tuner": self.tuner,
+            "tuner_state": self.tuner_state,
+            "step": self.step,
+        }
+
+    def save(self, path=None):
+        save_checkpoint(path or self.save_path, self._state())
+
+    def restore(self, path):
+        st = load_checkpoint(path, self._state())
+        self.tuner = st["tuner"]
+        self.tuner_state = st["tuner_state"]
+        self.step = int(st["step"])
 
     def train(self):
         bpds = []
@@ -106,3 +140,7 @@ class Finetuner:
                     "bpd mean", float(np.mean(bpds)), self.step
                 )
                 bpds = []
+            if self.fine_tune and self.step % self.save_interval == 0:
+                self.save()
+        if self.fine_tune:
+            self.save()

@@ -70,6 +70,20 @@ def make_train_step(model: IDFlow, optimizer, conditional: bool = False,
 
     repl = replicate(mesh)
     dsh = shard_batch(mesh)
+    if conditional:
+        # cond is per-sample (the VQ reconstruction): shard it with the batch
+        train_step = jax.jit(
+            _step,
+            in_shardings=(repl, repl, dsh, dsh),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+        eval_step = jax.jit(
+            loss_fn,
+            in_shardings=(repl, dsh, dsh),
+            out_shardings=(repl, repl),
+        )
+        return train_step, eval_step
     train_step = jax.jit(
         lambda p, o, b: _step(p, o, b),
         in_shardings=(repl, repl, dsh),
@@ -156,6 +170,11 @@ class Trainer:
         )
         self.forward = make_forward(self.model)
         self.codec = FlowCodec(self.model, num_streams=self.num_streams)
+        self.sharded_codec = None
+        if mesh is not None:
+            from ..parallel.flow_codec import ShardedFlowCodec
+
+            self.sharded_codec = ShardedFlowCodec(self.codec, mesh)
         self.sample_key = jax.random.PRNGKey(seed + 1)
 
     # -- checkpointing ----------------------------------------------------
@@ -191,16 +210,25 @@ class Trainer:
                 loss.block_until_ready()
             bpds.append(float(loss) / math.log(2.0))
             if self.test_coding:
+                # over a mesh, eval coding runs the chip-local sharded
+                # pipeline (each device codes its own batch shard; streams
+                # never cross devices) when the batch divides evenly
+                codec = self.codec
+                if (
+                    self.sharded_codec is not None
+                    and batch.shape[0] % self.sharded_codec.D == 0
+                ):
+                    codec = self.sharded_codec
                 try:
                     with timer.phase("encode"):
-                        blobs, info = self.codec.compress(self.params, batch)
+                        blobs, info = codec.compress(self.params, batch)
                     with timer.phase("decode"):
-                        rec = self.codec.decompress(
+                        rec = codec.decompress(
                             self.params, blobs, info
                         )
                         rec = np.asarray(rec)
                     errors += int(np.sum(rec != np.asarray(batch)))
-                    real_bpds.append(self.codec.real_bpd(blobs, info))
+                    real_bpds.append(codec.real_bpd(blobs, info))
                 except ValueError:
                     # undecodable stream: count the whole batch as failed
                     # (the reference swallows these, trainer.py:328-329;

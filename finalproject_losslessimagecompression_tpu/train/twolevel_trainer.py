@@ -26,7 +26,10 @@ from .optim import build_optimizer
 LOG2 = math.log(2.0)
 
 
-def make_twolevel_step(model: TwoLevelFlow, optimizer):
+def make_twolevel_step(model: TwoLevelFlow, optimizer, mesh=None):
+    """Fused rough+fine step; with `mesh`, the image batch shards over the
+    whole mesh and params/opt state replicate (matching make_train_step;
+    reference TwoLevelTrainer scope: trainer.py:361-457)."""
     cfg = model.cfg
 
     def loss_fn(params, batch):
@@ -37,8 +40,7 @@ def make_twolevel_step(model: TwoLevelFlow, optimizer):
         loss_f = -jnp.mean(lp_f)
         return loss_r + loss_f, (loss_r, loss_f)
 
-    @jax.jit
-    def step(params, opt_state, batch):
+    def _step(params, opt_state, batch):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch
         )
@@ -46,7 +48,22 @@ def make_twolevel_step(model: TwoLevelFlow, optimizer):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
 
-    eval_step = jax.jit(loss_fn)
+    if mesh is None:
+        return jax.jit(_step, donate_argnums=(0, 1)), jax.jit(loss_fn)
+
+    from ..parallel.sharding import replicate, shard_batch
+
+    repl = replicate(mesh)
+    dsh = shard_batch(mesh)
+    step = jax.jit(
+        _step,
+        in_shardings=(repl, repl, dsh),
+        out_shardings=(repl, repl, repl, (repl, repl)),
+        donate_argnums=(0, 1),
+    )
+    eval_step = jax.jit(
+        loss_fn, in_shardings=(repl, dsh), out_shardings=(repl, (repl, repl))
+    )
     return step, eval_step
 
 
@@ -69,6 +86,7 @@ class TwoLevelTrainer:
         max_eval_batches: int = 0,
         test_coding: bool = False,
         num_streams: int = 4096,
+        use_mesh: bool = False,
     ):
         model = dict(model)
         self.load_path = model.pop("load_path", None)
@@ -92,8 +110,13 @@ class TwoLevelTrainer:
         self.opt_state = self.optimizer.init(self.params)
         if self.load_path:
             self.restore(self.load_path)
+        self.mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
         self.train_step, self.eval_step = make_twolevel_step(
-            self.model, self.optimizer
+            self.model, self.optimizer, mesh=self.mesh
         )
         self.sample_key = jax.random.PRNGKey(seed + 1)
         self.test_coding = test_coding

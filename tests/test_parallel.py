@@ -182,3 +182,76 @@ class TestShardedCodec:
             sharded_decode(
                 [blobs[0], bytes(bad)] + list(blobs[2:]), means, ls, mesh
             )
+
+
+class TestShardedFlowCodec:
+    def test_per_device_containers_byte_identical(self, rng):
+        """The full-pipeline sharded codec invariant: each device's
+        containers are BYTE-identical to a single-device FlowCodec.compress
+        of its shard, and the mesh decompress reconstructs the batch
+        bit-exactly (chip-local streams, reference driver semantics
+        coder.py:18-38 per shard)."""
+        from finalproject_losslessimagecompression_tpu.models import (
+            FlowCodec,
+        )
+        from finalproject_losslessimagecompression_tpu.parallel.flow_codec import (
+            ShardedFlowCodec,
+        )
+
+        cfg = FlowCfg(
+            H=16, W=16, C=3, nflows=2, nsplit=2,
+            couple=CouplingCfg(0.75, DenseBlockCfg(8, 2, "LeakyReLU")),
+            prior_nn=DenseBlockCfg(8, 2, "LeakyReLU"),
+        )
+        model = IDFlow(cfg)
+        D = 8
+        x = jnp.asarray(
+            np.round(rng.uniform(0, 1, (D * 2, 16, 16, 3)) * 256)
+            .astype(np.float32) / 256.0
+        )
+        params = model.init(jax.random.PRNGKey(0), x[:1])
+        codec = FlowCodec(model, num_streams=256, granularity="fused")
+        sharded = ShardedFlowCodec(codec, make_mesh())
+
+        blobs, info = sharded.compress(params, x)
+        assert len(blobs) == D * cfg.nsplit
+
+        # byte-identical per shard vs a plain single-device compress
+        local_b = x.shape[0] // D
+        for d in range(D):
+            shard = x[d * local_b : (d + 1) * local_b]
+            solo, _ = codec.compress(params, shard)
+            for level in range(cfg.nsplit):
+                assert blobs[d * cfg.nsplit + level] == solo[level], (
+                    d, level,
+                )
+
+        rec = np.asarray(sharded.decompress(params, blobs, info))
+        assert np.array_equal(rec, np.asarray(x))
+
+    def test_shard_decodable_alone(self, rng):
+        """Any one device's containers decode on a plain FlowCodec."""
+        from finalproject_losslessimagecompression_tpu.models import (
+            FlowCodec,
+        )
+        from finalproject_losslessimagecompression_tpu.parallel.flow_codec import (
+            ShardedFlowCodec,
+        )
+
+        cfg = small_cfg()
+        model = IDFlow(cfg)
+        D = 8
+        x = jnp.asarray(
+            np.round(rng.uniform(0, 1, (D, 8, 8, 3)) * 256)
+            .astype(np.float32) / 256.0
+        )
+        params = model.init(jax.random.PRNGKey(0), x[:1])
+        codec = FlowCodec(model, num_streams=64, granularity="fused")
+        sharded = ShardedFlowCodec(codec, make_mesh())
+        blobs, info = sharded.compress(params, x)
+        ns = cfg.nsplit
+        d = 3
+        rec = codec.decompress(
+            params, blobs[d * ns : (d + 1) * ns], {"batch": 1}
+        )
+        assert np.array_equal(np.asarray(rec), np.asarray(x[d : d + 1]))

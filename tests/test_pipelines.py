@@ -326,6 +326,36 @@ class TestFinetuner:
         f2.train()
         assert float(jnp.max(jnp.abs(f2.tuner))) > 0.0
 
+    def test_tuner_checkpoint_resume(self, tmp_path):
+        """A fine-tuning run is recoverable: the tuner tensor + optimizer
+        state checkpoint at save_interval and restore with resume=True
+        (the reference never persisted its tuner, trainer.py:784-793)."""
+        from finalproject_losslessimagecompression_tpu.train import Finetuner
+
+        common = dict(
+            train_dataloader=synth_loader_cfg((8, 8, 3), train=True),
+            test_dataloader=synth_loader_cfg((8, 8, 3)),
+            optimizer=dict(name="Adam", lr=1e-3),
+            scheduler=dict(name="Constant"),
+            step_per_epoch=10,
+            evaluate_interval=1000,
+            save_interval=2,
+            save_path=str(tmp_path / "ft.ckpt"),
+            writer_path=str(tmp_path / "logs"),
+        )
+        f = Finetuner(model=small_flow_dict(8, 8), fine_tune=True,
+                      max_step=3, **common)
+        f.train()
+        f2 = Finetuner(model=small_flow_dict(8, 8), fine_tune=True,
+                       max_step=3, resume=True, **common)
+        assert f2.step == 3
+        assert np.array_equal(np.asarray(f2.tuner), np.asarray(f.tuner))
+        # honors the configured optimizer (no fine_tune_lr override here):
+        # resumed state continues training without error
+        f2.max_step = 4
+        f2.train()
+        assert f2.step == 4
+
 
 class TestShardedPipelines:
     def test_residual_use_mesh(self, tmp_path, vqvae_ckpt):
@@ -390,3 +420,82 @@ class TestShardedPipelines:
         t.train()
         bpd, _ = t.evaluate()
         assert np.isfinite(bpd)
+
+    def test_twolevel_use_mesh(self, tmp_path):
+        """TwoLevelTrainer with use_mesh: batch shards over the mesh,
+        params replicate (mirrors test_trainer_smoke at mesh scope)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from finalproject_losslessimagecompression_tpu.train import (
+            TwoLevelTrainer,
+        )
+
+        t = TwoLevelTrainer(
+            model=dict(
+                name="TwoLevelFlows",
+                H=16, W=16, C=3, pad=[0, 0],
+                rough_flows=small_flow_dict(8, 8, scale=2),
+                fine_flows=small_flow_dict(8, 8, scale=2),
+                batchsize=256,
+            ),
+            train_dataloader=synth_loader_cfg((16, 16, 3), batch=8,
+                                              train=True),
+            test_dataloader=synth_loader_cfg((16, 16, 3), batch=8),
+            optimizer=dict(name="Adamax", lr=1e-3),
+            scheduler=dict(name="Constant"),
+            max_step=2, step_per_epoch=10,
+            evaluate_interval=1000, save_interval=1000,
+            save_path=str(tmp_path / "tl.ckpt"),
+            writer_path=str(tmp_path / "logs"),
+            max_eval_batches=1,
+            use_mesh=True,
+        )
+        assert t.mesh is not None
+        t.train()
+        bpd, _, _ = t.evaluate()
+        assert np.isfinite(bpd)
+
+    def test_conditional_mesh_step_passes_cond(self):
+        """make_train_step(conditional=True, mesh=...) must NOT drop the
+        conditioning input: the sharded step's loss equals the unsharded
+        conditional loss on the same inputs."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from finalproject_losslessimagecompression_tpu.models import IDFlow
+        from finalproject_losslessimagecompression_tpu.models.config import (
+            FlowCfg,
+        )
+        from finalproject_losslessimagecompression_tpu.parallel.mesh import (
+            make_mesh,
+        )
+        from finalproject_losslessimagecompression_tpu.train import (
+            make_train_step,
+        )
+        from finalproject_losslessimagecompression_tpu.train.optim import (
+            build_optimizer,
+        )
+
+        cfg = FlowCfg.from_ref(small_flow_dict(8, 8, name="ConditionalFlows"))
+        model = IDFlow(cfg)
+        x = jnp.asarray(
+            np.round(
+                np.random.default_rng(0).uniform(0, 1, (8, 8, 8, 3)) * 256
+            ).astype(np.float32) / 256.0
+        )
+        cond = jnp.asarray(
+            np.round(
+                np.random.default_rng(1).uniform(0, 1, (8, 8, 8, 3)) * 256
+            ).astype(np.float32) / 256.0
+        )
+        params = model.init(jax.random.PRNGKey(0), x, cond)
+        opt = build_optimizer(dict(name="Adamax", lr=1e-3),
+                              dict(name="Constant"), 10)
+        opt_state = opt.init(params)
+        step_m, eval_m = make_train_step(model, opt, conditional=True,
+                                         mesh=make_mesh())
+        step_1, eval_1 = make_train_step(model, opt, conditional=True)
+        loss_m, _ = eval_m(params, x, cond)
+        loss_1, _ = eval_1(params, x, cond)
+        assert np.isclose(float(loss_m), float(loss_1), rtol=1e-5)
+        p2, o2, loss, aux = step_m(params, opt_state, x, cond)
+        assert np.isfinite(float(loss))
