@@ -339,6 +339,24 @@ CONFIGS["synthetic64"] = dict(train=dict(
     save_path="./logs/synthetic64.ckpt",
     writer_path="./logs/log_synthetic64"))
 
+# -- scaled-up variant of the headline run (wider NN, more data, longer
+#    schedule); used to push the learned-vs-classical margin further
+CONFIGS["synthetic64_xl"] = dict(train=dict(
+    model=flow(H=64, W=64, nflows=8, nsplit=3, couple_g=384, couple_d=8,
+               prior_g=384, prior_d=8, act="ReLU"),
+    test_coding=True,
+    log_every=20,
+    train_dataloader=synth_loader(64, True, size=(64, 64, 3), length=16384,
+                                  seed=1, cache=True),
+    test_dataloader=synth_loader(8, False, size=(64, 64, 3), length=32,
+                                 seed=0, cache=True),
+    optimizer=opt(),
+    scheduler=dict(name="WarmUpScheduler", warmup=4, beta=0.998),
+    max_step=60000, step_per_epoch=256,
+    evaluate_interval=5000, save_interval=5000,
+    save_path="./logs/synthetic64_xl.ckpt",
+    writer_path="./logs/log_synthetic64_xl"))
+
 # -- hermetic synthetic smokes (no reference counterpart; CPU-runnable)
 CONFIGS["smoke_synthetic"] = dict(train=dict(
     model=flow(H=16, W=16, nflows=2, nsplit=2, couple_g=16, couple_d=2,
