@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 
-def build_model(quick: bool, seed: int = 0):
+def build_model(quick: bool, seed: int = 0, bf16: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -37,19 +37,20 @@ def build_model(quick: bool, seed: int = 0):
         IDFlow,
     )
 
+    dt = "bfloat16" if bf16 else "float32"
     if quick:
         cfg = FlowCfg(
             H=64, W=64, C=3, nflows=2, nsplit=2,
-            couple=CouplingCfg(0.75, DenseBlockCfg(32, 2, "LeakyReLU")),
-            prior_nn=DenseBlockCfg(32, 2, "LeakyReLU"),
+            couple=CouplingCfg(0.75, DenseBlockCfg(32, 2, "LeakyReLU", dt)),
+            prior_nn=DenseBlockCfg(32, 2, "LeakyReLU", dt),
         )
     else:
         # flagship: reference configs/imagenet64.yaml scale
         # (nflows=8, nsplit=3, growth 512/512, depth 12/12)
         cfg = FlowCfg(
             H=64, W=64, C=3, nflows=8, nsplit=3,
-            couple=CouplingCfg(0.75, DenseBlockCfg(512, 12, "ReLU")),
-            prior_nn=DenseBlockCfg(512, 12, "ReLU"),
+            couple=CouplingCfg(0.75, DenseBlockCfg(512, 12, "ReLU", dt)),
+            prior_nn=DenseBlockCfg(512, 12, "ReLU", dt),
         )
     model = IDFlow(cfg)
     rng = np.random.default_rng(seed)
@@ -296,13 +297,16 @@ def main():
     ap.add_argument("--queue", type=int, default=4,
                     help="pipelined batches per serving iteration")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--bf16", action="store_true",
+                    help="compute the coupling/prior conv stacks in "
+                    "bfloat16 (MXU-native; coding stays bit-exact)")
     args = ap.parse_args()
     quick = args.quick and not args.full
     batch = args.batch or (64 if quick else 16)
 
     platform = jax.devices()[0].platform
 
-    cfg, model, params = build_model(quick)
+    cfg, model, params = build_model(quick, bf16=args.bf16)
     imgs_per_s, exact, bpd, analytic_bpd, phases = bench_e2e(
         cfg, model, params, batch, args.iters, args.queue
     )
@@ -341,6 +345,7 @@ def main():
         "queue": args.queue,
         "platform": platform,
         "quick": quick,
+        "bf16": args.bf16,
     }
     print(json.dumps(out))
 

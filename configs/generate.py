@@ -14,9 +14,12 @@ CELEBA_TEST = "${DATA_ROOT}/celeba/test"
 IMAGENET64 = "${DATA_ROOT}/imagenet64"
 
 
-def dense(growth, depth, act):
-    return dict(name="DenseBlock", growth_channel=growth, depth=depth,
-                layer=dict(name="DenseLayer", act=act))
+def dense(growth, depth, act, dtype=None):
+    d = dict(name="DenseBlock", growth_channel=growth, depth=depth,
+             layer=dict(name="DenseLayer", act=act))
+    if dtype:  # compute dtype of the conv stack (params stay float32)
+        d["dtype"] = dtype
+    return d
 
 
 def rnd():
@@ -25,13 +28,14 @@ def rnd():
 
 def flow(name="IDFlows", H=64, W=64, nflows=8, nsplit=3, couple_g=512,
          couple_d=12, prior_g=512, prior_d=12, act="ReLU", scale=2,
-         C=3, **extra):
+         C=3, dtype=None, **extra):
     return dict(
         name=name, nflows=nflows, nbits=8, nsplit=nsplit, H=H, W=W, C=C,
         couple=dict(name="AdditiveCouple", split=0.75,
-                    nn=dense(couple_g, couple_d, act), round=rnd()),
+                    nn=dense(couple_g, couple_d, act, dtype), round=rnd()),
         extenddim=dict(name="ExtendDim", scale=scale),
-        prior=dict(name="Prior", round=rnd(), nn=dense(prior_g, prior_d, act)),
+        prior=dict(name="Prior", round=rnd(),
+                   nn=dense(prior_g, prior_d, act, dtype)),
         distribution=dict(name="DLogistic"), round=rnd(), **extra)
 
 
@@ -356,6 +360,25 @@ CONFIGS["synthetic64_xl"] = dict(train=dict(
     evaluate_interval=5000, save_interval=5000,
     save_path="./logs/synthetic64_xl.ckpt",
     writer_path="./logs/log_synthetic64_xl"))
+
+# -- bfloat16 mixed-precision variant: conv stacks compute at the MXU's
+#    native bfloat16 rate (params float32, coding stays bit-exact --
+#    models/layers.py DenseBlock docstring)
+CONFIGS["synthetic64_xl_bf16"] = dict(train=dict(
+    model=flow(H=64, W=64, nflows=8, nsplit=3, couple_g=384, couple_d=8,
+               prior_g=384, prior_d=8, act="ReLU", dtype="bfloat16"),
+    test_coding=True,
+    log_every=20,
+    train_dataloader=synth_loader(64, True, size=(64, 64, 3), length=16384,
+                                  seed=1, cache=True),
+    test_dataloader=synth_loader(8, False, size=(64, 64, 3), length=32,
+                                 seed=0, cache=True),
+    optimizer=opt(),
+    scheduler=dict(name="WarmUpScheduler", warmup=4, beta=0.998),
+    max_step=60000, step_per_epoch=256,
+    evaluate_interval=5000, save_interval=5000,
+    save_path="./logs/synthetic64_xl_bf16.ckpt",
+    writer_path="./logs/log_synthetic64_xl_bf16"))
 
 # -- hermetic synthetic smokes (no reference counterpart; CPU-runnable)
 CONFIGS["smoke_synthetic"] = dict(train=dict(

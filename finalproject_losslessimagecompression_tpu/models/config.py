@@ -19,6 +19,13 @@ class DenseBlockCfg:
     growth_channel: int = 512
     depth: int = 8
     act: str = "ReLU"
+    # computation dtype for the conv stack ("float32" or "bfloat16").
+    # bfloat16 runs the convs at the MXU's native rate (params stay
+    # float32; the block casts its output back to float32 before any grid
+    # arithmetic).  Encode/decode bit-exactness is preserved because the
+    # coding contract is shared-executable determinism, not float32 (see
+    # models/exact.py); the airtight granularity="nn" mode is unaffected.
+    dtype: str = "float32"
 
     @classmethod
     def from_ref(cls, cfg: dict) -> "DenseBlockCfg":
@@ -31,6 +38,7 @@ class DenseBlockCfg:
             growth_channel=cfg.pop("growth_channel", 512),
             depth=cfg.pop("depth", 8),
             act=act,
+            dtype=cfg.pop("dtype", "float32"),
         )
 
 

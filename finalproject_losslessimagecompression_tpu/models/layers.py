@@ -38,11 +38,14 @@ class DenseLayer(nn.Module):
 
     growth: int
     act: str = "ReLU"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(x.shape[-1], (1, 1), name="conv1")(x)
-        h = nn.Conv(self.growth, (3, 3), padding="SAME", name="conv3")(h)
+        dt = jnp.dtype(self.dtype)
+        h = nn.Conv(x.shape[-1], (1, 1), dtype=dt, name="conv1")(x)
+        h = nn.Conv(self.growth, (3, 3), padding="SAME", dtype=dt,
+                    name="conv3")(h)
         h = activation(self.act)(h)
         return jnp.concatenate([x, h], axis=-1)
 
@@ -53,6 +56,11 @@ class DenseBlock(nn.Module):
 
     Per-layer growth follows the reference's integer split
     (nnblock.py:44): growth_i = (i+1)*g//d - i*g//d.
+
+    With cfg.dtype="bfloat16" the whole conv stack computes in bfloat16
+    (MXU-native; params stay float32, MXU accumulation is float32) and the
+    block's output is cast back to float32, so downstream grid arithmetic
+    (round_ste, coupling adds) keeps its exactness guarantees.
     """
 
     out_features: int
@@ -61,16 +69,21 @@ class DenseBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         g, d = self.cfg.growth_channel, self.cfg.depth
+        dt = jnp.dtype(self.cfg.dtype)
+        x = x.astype(dt)
         for i in range(d):
             growth = (i + 1) * g // d - i * g // d
-            x = DenseLayer(growth, self.cfg.act, name=f"layer{i}")(x)
-        return nn.Conv(
+            x = DenseLayer(growth, self.cfg.act, self.cfg.dtype,
+                           name=f"layer{i}")(x)
+        out = nn.Conv(
             self.out_features,
             (1, 1),
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=dt,
             name="proj",
         )(x)
+        return out.astype(jnp.float32)
 
 
 class ResBlock(nn.Module):

@@ -241,3 +241,70 @@ class TestBatchSqueeze:
         blobs, info = codec.compress(params, x)
         rec = codec.decompress(params, blobs, info)
         assert np.array_equal(np.asarray(rec), np.asarray(x))
+
+
+class TestBFloat16:
+    """Mixed-precision coupling/prior NNs (DenseBlockCfg.dtype="bfloat16"):
+    params stay float32, the conv stack computes in bfloat16 (MXU-native),
+    and the block output returns to float32 -- so grid arithmetic stays
+    exact and coding stays bit-exact (the contract is shared-executable
+    determinism, models/exact.py, not float32)."""
+
+    def _bf16_cfg(self, **kw):
+        from dataclasses import replace
+
+        cfg = small_cfg(**kw)
+        return replace(
+            cfg,
+            couple=replace(cfg.couple, nn=replace(cfg.couple.nn,
+                                                  dtype="bfloat16")),
+            prior_nn=replace(cfg.prior_nn, dtype="bfloat16"),
+        )
+
+    def test_invertible_and_float32_out(self, rng):
+        cfg = self._bf16_cfg()
+        model = IDFlow(cfg)
+        x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
+        params = model.init(jax.random.PRNGKey(0), x)
+        params = randomize_projections(params, jax.random.PRNGKey(7))
+        latents, means, logscales = model.apply(params, x)
+        for t in (*latents, *means, *logscales):
+            assert t.dtype == jnp.float32
+        # params untouched by the compute dtype
+        assert all(
+            leaf.dtype == jnp.float32
+            for leaf in jax.tree_util.tree_leaves(params)
+        )
+        rec = model.apply(params, latents, method=IDFlow.inverse_from_latents)
+        assert np.array_equal(np.asarray(rec), np.asarray(x))
+
+    def test_coding_bit_exact_all_granularities(self, rng):
+        cfg = self._bf16_cfg()
+        model = IDFlow(cfg)
+        x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
+        params = model.init(jax.random.PRNGKey(0), x)
+        params = randomize_projections(params, jax.random.PRNGKey(7))
+        blobs = {}
+        for gran in ("nn", "level", "fused"):
+            c = FlowCodec(model, num_streams=64, granularity=gran)
+            b, info = c.compress(params, x)
+            rec = c.decompress(params, b, info)
+            assert np.array_equal(np.asarray(rec), np.asarray(x)), gran
+            blobs[gran] = b
+        assert blobs["nn"] == blobs["level"] == blobs["fused"]
+
+    def test_gradients_finite(self, rng):
+        cfg = self._bf16_cfg()
+        model = IDFlow(cfg)
+        x = grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))
+        params = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            latents, means, logscales = model.apply(p, x)
+            lp, _ = log_likelihood(cfg, latents, means, logscales)
+            return -jnp.mean(lp)
+
+        g = jax.grad(loss)(params)
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(t)).all() for t in flat)
+        assert any(float(jnp.abs(t).max()) > 0 for t in flat)
