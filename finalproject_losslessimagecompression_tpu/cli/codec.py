@@ -1,0 +1,188 @@
+"""File-level compress/decompress CLI: images <-> `.lic` containers.
+
+The missing user-facing tool of the reference (its coding path exists only
+inside the Trainer's eval loop, reference: trainer.py:304-331): compress an
+image file (PNG/anything PIL reads, or a .npy uint8 array) into a
+self-describing `.lic` file with a trained flow checkpoint, and decompress
+it back to the EXACT original pixels.
+
+Usage:
+  python -m finalproject_losslessimagecompression_tpu.cli.codec compress \
+      --config configs/synthetic64.yaml --ckpt logs/synthetic64.ckpt \
+      --input img.png [img2.npy ...] [--outdir DIR]
+  python -m finalproject_losslessimagecompression_tpu.cli.codec decompress \
+      --config configs/synthetic64.yaml --ckpt logs/synthetic64.ckpt \
+      --input img.lic [--outdir DIR]
+
+Pixels are mapped uint8 v -> v/256 (exact points of the 1/256 coding grid)
+and replication-padded up to the model's HxW; the original size is stored in
+the header and the padding cropped away on decompress, so round-trips are
+bit-exact on the original array.  Inputs larger than the model dims are
+rejected (pick a config whose H/W cover the image, or tile upstream).
+
+`.lic` layout: magic b"LIC1" | u32 header_len | JSON header | blobs.
+The header records the original size, nbits, per-level blob lengths, and a
+model fingerprint (config hash) so mismatched checkpoints fail loudly
+instead of decoding garbage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import struct
+
+import numpy as np
+import yaml
+
+_MAGIC = b"LIC1"
+
+
+def _load_model(config_path: str, ckpt_path: str, num_streams: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import FlowCodec, IDFlow
+    from ..models.config import FlowCfg
+    from ..train.checkpoint import load_raw
+
+    with open(config_path) as f:
+        config = yaml.safe_load(f)
+    model_cfg = dict(config["train"]["model"])
+    model_cfg.pop("load_path", None)
+    cfg = FlowCfg.from_ref(model_cfg)
+    model = IDFlow(cfg)
+    init_x = jnp.zeros((1, cfg.H, cfg.W, cfg.C), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), init_x)
+    raw = load_raw(ckpt_path)
+    if "params" not in raw:
+        raise SystemExit(f"{ckpt_path}: not a trainer checkpoint")
+    from flax import serialization
+
+    params = serialization.from_state_dict(params, raw["params"])
+    # fingerprint ties .lic files to the (architecture, weights) pair
+    h = hashlib.sha256()
+    h.update(json.dumps(model_cfg, sort_keys=True).encode())
+    with open(ckpt_path, "rb") as f:
+        h.update(f.read(1 << 20))
+    fingerprint = h.hexdigest()[:16]
+    return cfg, FlowCodec(model, num_streams=num_streams), params, fingerprint
+
+
+def _read_image(path: str) -> np.ndarray:
+    """-> uint8 [H, W, C]."""
+    if path.endswith(".npy"):
+        arr = np.load(path)
+        if arr.dtype != np.uint8:
+            raise SystemExit(f"{path}: expected uint8 array")
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        return arr
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    return np.asarray(img, np.uint8)
+
+
+def _write_image(path: str, arr: np.ndarray) -> None:
+    if path.endswith(".npy"):
+        np.save(path, arr)
+        return
+    from PIL import Image
+
+    Image.fromarray(arr.squeeze() if arr.shape[-1] == 1 else arr).save(path)
+
+
+def compress_file(cfg, codec, params, fingerprint, in_path, out_path):
+    import jax.numpy as jnp
+
+    from ..data.loader import _pad_replicate
+
+    arr = _read_image(in_path)
+    H, W, C = arr.shape
+    if H > cfg.H or W > cfg.W or C != cfg.C:
+        raise SystemExit(
+            f"{in_path}: {arr.shape} exceeds model dims "
+            f"({cfg.H}x{cfg.W}x{cfg.C})"
+        )
+    x = arr.astype(np.float32) / 256.0
+    x = _pad_replicate(x[None], cfg.H - H, cfg.W - W)
+    blobs, info = codec.compress(params, jnp.asarray(x))
+    header = json.dumps({
+        "orig": [H, W, C],
+        "nbits": cfg.nbits,
+        "blob_lens": [len(b) for b in blobs],
+        "fingerprint": fingerprint,
+        "info": {k: v for k, v in info.items()
+                 if isinstance(v, (int, float, str, bool))},
+    }).encode()
+    with open(out_path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
+        for b in blobs:
+            f.write(b)
+    coded = os.path.getsize(out_path)
+    print(f"{in_path} -> {out_path}: {coded} bytes, "
+          f"{8.0 * coded / (H * W * C):.4f} bpd")
+
+
+def decompress_file(cfg, codec, params, fingerprint, in_path, out_path):
+    with open(in_path, "rb") as f:
+        data = f.read()
+    if data[:4] != _MAGIC or len(data) < 8:
+        raise SystemExit(f"{in_path}: not a .lic container")
+    (hlen,) = struct.unpack("<I", data[4:8])
+    try:
+        header = json.loads(data[8 : 8 + hlen])
+    except Exception:
+        raise SystemExit(f"{in_path}: corrupt header")
+    if header.get("fingerprint") != fingerprint:
+        raise SystemExit(
+            f"{in_path}: was written by a different model/checkpoint "
+            f"({header.get('fingerprint')} != {fingerprint})"
+        )
+    blobs, off = [], 8 + hlen
+    for n in header["blob_lens"]:
+        blobs.append(data[off : off + n])
+        off += n
+    if off != len(data):
+        raise SystemExit(f"{in_path}: trailing/missing bytes")
+    info = dict(header.get("info", {}))
+    info["batch"] = 1
+    rec = codec.decompress(params, blobs, info)
+    H, W, C = header["orig"]
+    pixels = np.asarray(rec)[0, :H, :W, :C]
+    arr = np.round(pixels * 256.0).astype(np.uint8)
+    _write_image(out_path, arr)
+    print(f"{in_path} -> {out_path}: {H}x{W}x{C}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["compress", "decompress"])
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--input", nargs="+", required=True)
+    ap.add_argument("--outdir", default=".")
+    ap.add_argument("--num-streams", type=int, default=4096)
+    args = ap.parse_args(argv)
+
+    cfg, codec, params, fp = _load_model(
+        args.config, args.ckpt, args.num_streams
+    )
+    os.makedirs(args.outdir, exist_ok=True)
+    for path in args.input:
+        base = os.path.splitext(os.path.basename(path))[0]
+        if args.mode == "compress":
+            out = os.path.join(args.outdir, base + ".lic")
+            compress_file(cfg, codec, params, fp, path, out)
+        else:
+            out = os.path.join(args.outdir, base + ".png")
+            decompress_file(cfg, codec, params, fp, path, out)
+
+
+if __name__ == "__main__":
+    main()

@@ -134,3 +134,53 @@ class TestBaselines:
         for name in ("gzip", "bz2", "lzma", "png", "webp", "gzip_png"):
             assert name in res
             assert 0 < res[name]["bpd"] <= 64
+
+
+class TestFileCodecCLI:
+    def test_compress_decompress_file_round_trip(self, tmp_path):
+        """cli/codec: image file -> .lic -> exact original pixels, and a
+        mismatched checkpoint fingerprint is rejected loudly."""
+        from PIL import Image
+
+        from finalproject_losslessimagecompression_tpu.cli.codec import main
+        from finalproject_losslessimagecompression_tpu.cli.train import (
+            build_trainer,
+            load_config,
+        )
+
+        cfg = load_config("configs/smoke_synthetic.yaml")
+        t = cfg["train"]
+        t["max_step"] = 2
+        t["step_per_epoch"] = 2
+        t["evaluate_interval"] = 100
+        t["save_path"] = str(tmp_path / "m.ckpt")
+        t["writer_path"] = str(tmp_path / "logs")
+        trainer = build_trainer(cfg)
+        trainer.train()
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (12, 14, 3)).astype(np.uint8)
+        src = str(tmp_path / "t.png")
+        Image.fromarray(img).save(src)
+        args = ["--config", "configs/smoke_synthetic.yaml",
+                "--ckpt", t["save_path"], "--outdir", str(tmp_path),
+                "--num-streams", "32"]
+        main(["compress", "--input", src] + args)
+        lic = str(tmp_path / "t.lic")
+        assert os.path.getsize(lic) > 0
+        main(["decompress", "--input", lic] + args)
+        out = np.asarray(Image.open(tmp_path / "t.png"))
+        assert np.array_equal(out, img)
+
+        # different weights -> different fingerprint -> loud rejection
+        trainer.save(str(tmp_path / "m2.ckpt"))
+        import flax, jax
+
+        trainer.params = jax.tree_util.tree_map(
+            lambda a: a + 1.0, trainer.params)
+        trainer.save(str(tmp_path / "m2.ckpt"))
+        bad = ["--config", "configs/smoke_synthetic.yaml",
+               "--ckpt", str(tmp_path / "m2.ckpt"),
+               "--outdir", str(tmp_path), "--num-streams", "32"]
+        with pytest.raises(SystemExit):
+            main(["decompress", "--input", lic] + bad)
