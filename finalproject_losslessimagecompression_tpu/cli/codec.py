@@ -17,8 +17,10 @@ Usage:
 Pixels are mapped uint8 v -> v/256 (exact points of the 1/256 coding grid)
 and replication-padded up to the model's HxW; the original size is stored in
 the header and the padding cropped away on decompress, so round-trips are
-bit-exact on the original array.  Inputs larger than the model dims are
-rejected (pick a config whose H/W cover the image, or tile upstream).
+bit-exact on the original array.  Images LARGER than the model dims are
+replication-padded to tile multiples and split into model-size tiles
+(reference Patching semantics, extenddim.py:41-67) compressed as ONE
+batch -- arbitrary image sizes work with any trained config.
 
 `.lic` layout: magic b"LIC1" | u32 header_len | JSON header | blobs.
 The header records the original size, nbits, per-level blob lengths, and a
@@ -99,16 +101,19 @@ def compress_file(cfg, codec, params, fingerprint, in_path, out_path):
     import jax.numpy as jnp
 
     from ..data.loader import _pad_replicate
+    from ..ops.reshape import patch_split
 
     arr = _read_image(in_path)
     H, W, C = arr.shape
-    if H > cfg.H or W > cfg.W or C != cfg.C:
+    if C != cfg.C:
         raise SystemExit(
-            f"{in_path}: {arr.shape} exceeds model dims "
-            f"({cfg.H}x{cfg.W}x{cfg.C})"
+            f"{in_path}: {C} channels, model expects {cfg.C}"
         )
+    # pad up to tile multiples, then tile into a model-size batch
+    padH, padW = -H % cfg.H, -W % cfg.W
     x = arr.astype(np.float32) / 256.0
-    x = _pad_replicate(x[None], cfg.H - H, cfg.W - W)
+    x = _pad_replicate(x[None], padH, padW)
+    x = patch_split(x, cfg.H, cfg.W)
     blobs, info = codec.compress(params, jnp.asarray(x))
     header = json.dumps({
         "orig": [H, W, C],
@@ -150,11 +155,16 @@ def decompress_file(cfg, codec, params, fingerprint, in_path, out_path):
         off += n
     if off != len(data):
         raise SystemExit(f"{in_path}: trailing/missing bytes")
+    from ..ops.reshape import patch_merge
+
     info = dict(header.get("info", {}))
-    info["batch"] = 1
+    info.setdefault("batch", 1)
     rec = codec.decompress(params, blobs, info)
     H, W, C = header["orig"]
-    pixels = np.asarray(rec)[0, :H, :W, :C]
+    padded_h = H + (-H % cfg.H)
+    padded_w = W + (-W % cfg.W)
+    full = patch_merge(np.asarray(rec), padded_h, padded_w)
+    pixels = full[0, :H, :W, :C]
     arr = np.round(pixels * 256.0).astype(np.uint8)
     _write_image(out_path, arr)
     print(f"{in_path} -> {out_path}: {H}x{W}x{C}")

@@ -172,6 +172,16 @@ class TestFileCodecCLI:
         out = np.asarray(Image.open(tmp_path / "t.png"))
         assert np.array_equal(out, img)
 
+        # image larger than the model dims: tiled into a model-size batch
+        # (reference Patching semantics), still bit-exact
+        big = rng.integers(0, 256, (20, 35, 3)).astype(np.uint8)
+        bsrc = str(tmp_path / "big.png")
+        Image.fromarray(big).save(bsrc)
+        main(["compress", "--input", bsrc] + args)
+        main(["decompress", "--input", str(tmp_path / "big.lic")] + args)
+        bout = np.asarray(Image.open(tmp_path / "big.png"))
+        assert np.array_equal(bout, big)
+
         # different weights -> different fingerprint -> loud rejection
         trainer.save(str(tmp_path / "m2.ckpt"))
         import flax, jax
