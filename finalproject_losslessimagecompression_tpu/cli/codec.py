@@ -97,7 +97,8 @@ def _write_image(path: str, arr: np.ndarray) -> None:
     Image.fromarray(arr.squeeze() if arr.shape[-1] == 1 else arr).save(path)
 
 
-def compress_file(cfg, codec, params, fingerprint, in_path, out_path):
+def _to_tiles(cfg, in_path):
+    """image file -> (model-size tile batch [N,H,W,C] float grid, orig shape)."""
     import jax.numpy as jnp
 
     from ..data.loader import _pad_replicate
@@ -110,13 +111,14 @@ def compress_file(cfg, codec, params, fingerprint, in_path, out_path):
             f"{in_path}: {C} channels, model expects {cfg.C}"
         )
     # pad up to tile multiples, then tile into a model-size batch
-    padH, padW = -H % cfg.H, -W % cfg.W
     x = arr.astype(np.float32) / 256.0
-    x = _pad_replicate(x[None], padH, padW)
-    x = patch_split(x, cfg.H, cfg.W)
-    blobs, info = codec.compress(params, jnp.asarray(x))
+    x = _pad_replicate(x[None], -H % cfg.H, -W % cfg.W)
+    return jnp.asarray(patch_split(x, cfg.H, cfg.W)), (H, W, C)
+
+
+def _write_lic(cfg, fingerprint, out_path, blobs, info, orig, in_path):
     header = json.dumps({
-        "orig": [H, W, C],
+        "orig": list(orig),
         "nbits": cfg.nbits,
         "blob_lens": [len(b) for b in blobs],
         "fingerprint": fingerprint,
@@ -130,8 +132,28 @@ def compress_file(cfg, codec, params, fingerprint, in_path, out_path):
         for b in blobs:
             f.write(b)
     coded = os.path.getsize(out_path)
+    H, W, C = orig
     print(f"{in_path} -> {out_path}: {coded} bytes, "
           f"{8.0 * coded / (H * W * C):.4f} bpd")
+
+
+def compress_files(cfg, codec, params, fingerprint, in_paths, out_paths):
+    """Pipelined: ALL files are dispatched sync-free and packed with one
+    host transfer (FlowCodec.compress_many serving discipline)."""
+    tiles, origs = [], []
+    for p in in_paths:
+        x, orig = _to_tiles(cfg, p)
+        tiles.append(x)
+        origs.append(orig)
+    packed = codec.compress_many(params, tiles)
+    for in_path, out_path, (blobs, info), orig in zip(
+        in_paths, out_paths, packed, origs
+    ):
+        _write_lic(cfg, fingerprint, out_path, blobs, info, orig, in_path)
+
+
+def compress_file(cfg, codec, params, fingerprint, in_path, out_path):
+    compress_files(cfg, codec, params, fingerprint, [in_path], [out_path])
 
 
 def decompress_file(cfg, codec, params, fingerprint, in_path, out_path):
@@ -184,14 +206,18 @@ def main(argv=None):
         args.config, args.ckpt, args.num_streams
     )
     os.makedirs(args.outdir, exist_ok=True)
-    for path in args.input:
+
+    def _out(path, ext):
         base = os.path.splitext(os.path.basename(path))[0]
-        if args.mode == "compress":
-            out = os.path.join(args.outdir, base + ".lic")
-            compress_file(cfg, codec, params, fp, path, out)
-        else:
-            out = os.path.join(args.outdir, base + ".png")
-            decompress_file(cfg, codec, params, fp, path, out)
+        return os.path.join(args.outdir, base + ext)
+
+    if args.mode == "compress":
+        compress_files(cfg, codec, params, fp, args.input,
+                       [_out(p, ".lic") for p in args.input])
+    else:
+        for path in args.input:
+            decompress_file(cfg, codec, params, fp, path,
+                            _out(path, ".png"))
 
 
 if __name__ == "__main__":
