@@ -156,7 +156,8 @@ def compress_file(cfg, codec, params, fingerprint, in_path, out_path):
     compress_files(cfg, codec, params, fingerprint, [in_path], [out_path])
 
 
-def decompress_file(cfg, codec, params, fingerprint, in_path, out_path):
+def _read_lic(cfg, fingerprint, in_path):
+    """-> ((blobs, info), orig shape), with loud validation."""
     with open(in_path, "rb") as f:
         data = f.read()
     if data[:4] != _MAGIC or len(data) < 8:
@@ -177,19 +178,35 @@ def decompress_file(cfg, codec, params, fingerprint, in_path, out_path):
         off += n
     if off != len(data):
         raise SystemExit(f"{in_path}: trailing/missing bytes")
-    from ..ops.reshape import patch_merge
-
     info = dict(header.get("info", {}))
     info.setdefault("batch", 1)
-    rec = codec.decompress(params, blobs, info)
-    H, W, C = header["orig"]
-    padded_h = H + (-H % cfg.H)
-    padded_w = W + (-W % cfg.W)
-    full = patch_merge(np.asarray(rec), padded_h, padded_w)
-    pixels = full[0, :H, :W, :C]
-    arr = np.round(pixels * 256.0).astype(np.uint8)
-    _write_image(out_path, arr)
-    print(f"{in_path} -> {out_path}: {H}x{W}x{C}")
+    return (blobs, info), header["orig"]
+
+
+def decompress_files(cfg, codec, params, fingerprint, in_paths, out_paths):
+    """Pipelined: every container's decode is dispatched before the ONE
+    sync that verifies all state invariants (decompress_many)."""
+    from ..ops.reshape import patch_merge
+
+    packed, origs = [], []
+    for p in in_paths:
+        pk, orig = _read_lic(cfg, fingerprint, p)
+        packed.append(pk)
+        origs.append(orig)
+    recs = codec.decompress_many(params, packed)
+    for in_path, out_path, rec, (H, W, C) in zip(
+        in_paths, out_paths, recs, origs
+    ):
+        full = patch_merge(
+            np.asarray(rec), H + (-H % cfg.H), W + (-W % cfg.W)
+        )
+        arr = np.round(full[0, :H, :W, :C] * 256.0).astype(np.uint8)
+        _write_image(out_path, arr)
+        print(f"{in_path} -> {out_path}: {H}x{W}x{C}")
+
+
+def decompress_file(cfg, codec, params, fingerprint, in_path, out_path):
+    decompress_files(cfg, codec, params, fingerprint, [in_path], [out_path])
 
 
 def main(argv=None):
@@ -215,9 +232,8 @@ def main(argv=None):
         compress_files(cfg, codec, params, fp, args.input,
                        [_out(p, ".lic") for p in args.input])
     else:
-        for path in args.input:
-            decompress_file(cfg, codec, params, fp, path,
-                            _out(path, ".png"))
+        decompress_files(cfg, codec, params, fp, args.input,
+                         [_out(p, ".png") for p in args.input])
 
 
 if __name__ == "__main__":
