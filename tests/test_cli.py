@@ -184,7 +184,7 @@ class TestFileCodecCLI:
 
         # different weights -> different fingerprint -> loud rejection
         trainer.save(str(tmp_path / "m2.ckpt"))
-        import flax, jax
+        import jax
 
         trainer.params = jax.tree_util.tree_map(
             lambda a: a + 1.0, trainer.params)
