@@ -16,6 +16,7 @@ from .invertible import (
 from .idflow import IDFlow, flow_permutations, log_likelihood
 from .exact import FlowCodec
 from .twolevel import TwoLevelCfg, TwoLevelFlow
+from .residual_codec import ResidualCodec
 from .twolevel_codec import TwoLevelCodec
 from .vqvae import VQVAE, VectorQuantizer, build_vqvae_from_ref, vq_reinit
 
@@ -41,6 +42,7 @@ __all__ = [
     "TwoLevelCfg",
     "TwoLevelFlow",
     "TwoLevelCodec",
+    "ResidualCodec",
     "VQVAE",
     "VectorQuantizer",
     "build_vqvae_from_ref",

@@ -117,6 +117,17 @@ class ResidualTrainer:
             self.mesh = make_mesh()
         self._build_steps()
         self.codec = FlowCodec(self.model, num_streams=num_streams)
+        # conditional + VQ-VAE: the coding test can close the whole loop --
+        # code the VQ index stream too, decode with NO side information
+        # (the reference's test hands the decoder the encode-side
+        # reconstruction, trainer.py:304-327)
+        self.res_codec = None
+        if self.cfg.conditional and not nouse_vqvae:
+            from ..models.residual_codec import ResidualCodec
+
+            self.res_codec = ResidualCodec(
+                self.vqvae, self.vq_params, self.codec, self.input_size
+            )
         self.rng_key = jax.random.PRNGKey(seed + 2)
 
     # ------------------------------------------------------------------
@@ -250,19 +261,34 @@ class ResidualTrainer:
                 last = {"data": data, "rec_img": gen_img}
             if self.test_coding:
                 try:
-                    blobs, info = self.codec.compress(
-                        self.params, patches, rec_patches
-                    )
-                    dec = self.codec.decompress(
-                        self.params, blobs, info, rec_patches
-                    )
-                    errors += int(
-                        np.sum(np.asarray(dec) != np.asarray(patches))
-                    )
-                    real_bpds.append(
-                        self.codec.coded_bits(blobs)
-                        / float(np.asarray(data).size)
-                    )
+                    if self.res_codec is not None:
+                        # full pipeline: VQ indices travel in the bitstream
+                        idx_blob, blobs, info = self.res_codec.compress(
+                            self.params, data
+                        )
+                        dec = self.res_codec.decompress(
+                            self.params, idx_blob, blobs, info
+                        )
+                        errors += int(
+                            np.sum(np.asarray(dec) != np.asarray(data))
+                        )
+                        real_bpds.append(
+                            self.res_codec.real_bpd(idx_blob, blobs, info)
+                        )
+                    else:
+                        blobs, info = self.codec.compress(
+                            self.params, patches, rec_patches
+                        )
+                        dec = self.codec.decompress(
+                            self.params, blobs, info, rec_patches
+                        )
+                        errors += int(
+                            np.sum(np.asarray(dec) != np.asarray(patches))
+                        )
+                        real_bpds.append(
+                            self.codec.coded_bits(blobs)
+                            / float(np.asarray(data).size)
+                        )
                 except ValueError:
                     errors += int(np.asarray(patches).size)
             n += 1
