@@ -22,10 +22,19 @@ replication-padded to tile multiples and split into model-size tiles
 (reference Patching semantics, extenddim.py:41-67) compressed as ONE
 batch -- arbitrary image sizes work with any trained config.
 
+Two pipelines, selected by the config shape:
+- `train.model` (IDFlows): FlowCodec over model-size tiles;
+- `train.flows` + `train.vqvae` (ResidualTrainer, the reference's flagship
+  pipeline): ResidualCodec over `input_size` tiles -- the .lic carries the
+  bit-packed VQ index stream (segment 0) plus the conditional residual
+  containers, so it decodes with NO side information.  The VQ checkpoint
+  comes from the config's `vqvae.checkpoint` or `--vq-ckpt`.
+
 `.lic` layout: magic b"LIC1" | u32 header_len | JSON header | blobs.
-The header records the original size, nbits, per-level blob lengths, and a
-model fingerprint (config hash) so mismatched checkpoints fail loudly
-instead of decoding garbage.
+The header records the original size, nbits, pipeline kind, per-segment
+blob lengths, and a model fingerprint (config hash + checkpoint bytes) so
+mismatched checkpoints or pipeline kinds fail loudly instead of decoding
+garbage.
 """
 
 from __future__ import annotations
@@ -42,35 +51,132 @@ import yaml
 _MAGIC = b"LIC1"
 
 
-def _load_model(config_path: str, ckpt_path: str, num_streams: int):
+class _PlainPipeline:
+    """IDFlow configs (train.model): FlowCodec over model-size tiles."""
+
+    name = "plain"
+
+    def __init__(self, cfg, codec, params, fingerprint):
+        self.cfg = cfg
+        self.codec = codec
+        self.params = params
+        self.fingerprint = fingerprint
+        self.tile_h, self.tile_w, self.C = cfg.H, cfg.W, cfg.C
+        self.nbits = cfg.nbits
+
+    def compress_many(self, tiles_list):
+        """[tile batches] -> [(segments, info)]; segments are the byte
+        blobs written to the container in order."""
+        return self.codec.compress_many(self.params, tiles_list)
+
+    def decompress_many(self, packed):
+        return self.codec.decompress_many(self.params, packed)
+
+
+class _ResidualPipeline:
+    """ResidualTrainer configs (train.flows + train.vqvae): ResidualCodec
+    over input_size tiles; segment 0 is the VQ index stream."""
+
+    name = "residual"
+
+    def __init__(self, res_codec, params, fingerprint):
+        self.res = res_codec
+        self.params = params
+        self.fingerprint = fingerprint
+        self.tile_h, self.tile_w = res_codec.input_size
+        self.C = res_codec.codec.model.cfg.C
+        self.nbits = res_codec.codec.model.cfg.nbits
+
+    def compress_many(self, tiles_list):
+        out = []
+        for x in tiles_list:
+            idx_blob, blobs, info = self.res.compress(self.params, x)
+            out.append(([idx_blob] + list(blobs), info))
+        return out
+
+    def decompress_many(self, packed):
+        return [
+            self.res.decompress(self.params, segs[0], segs[1:], info)
+            for segs, info in packed
+        ]
+
+
+def _fingerprint(model_cfg: dict, *ckpt_paths: str) -> str:
+    """Ties .lic files to the (architecture, weights) pair."""
+    h = hashlib.sha256()
+    h.update(json.dumps(model_cfg, sort_keys=True).encode())
+    for p in ckpt_paths:
+        with open(p, "rb") as f:
+            h.update(f.read(1 << 20))
+    return h.hexdigest()[:16]
+
+
+def _restore(params, ckpt_path):
+    from flax import serialization
+
+    from ..train.checkpoint import load_raw
+
+    raw = load_raw(ckpt_path)
+    if "params" not in raw:
+        raise SystemExit(f"{ckpt_path}: not a trainer checkpoint")
+    return serialization.from_state_dict(params, raw["params"])
+
+
+def _load_model(config_path: str, ckpt_path: str, num_streams: int,
+                vq_ckpt: str = None):
     import jax
     import jax.numpy as jnp
 
     from ..models import FlowCodec, IDFlow
     from ..models.config import FlowCfg
-    from ..train.checkpoint import load_raw
 
     with open(config_path) as f:
         config = yaml.safe_load(f)
-    model_cfg = dict(config["train"]["model"])
+    train = config["train"]
+
+    if "flows" in train:  # ResidualTrainer config -> full pipeline
+        from ..models import ResidualCodec, build_vqvae_from_ref
+
+        flows = dict(train["flows"])
+        flows.pop("load_path", None)
+        cfg = FlowCfg.from_ref(flows)
+        if not cfg.conditional:
+            raise SystemExit(
+                f"{config_path}: file coding of residual configs needs "
+                "ConditionalFlows (the VQ reconstruction is the decoder's "
+                "only conditioning source)"
+            )
+        model = IDFlow(cfg)
+        px = jnp.zeros((1, cfg.H, cfg.W, cfg.C), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), px, px)
+        params = _restore(params, ckpt_path)
+        vq_cfg = dict(train["vqvae"])
+        vq_ckpt = vq_ckpt or vq_cfg.get("checkpoint")
+        if not vq_ckpt:
+            raise SystemExit("no VQ-VAE checkpoint (config or --vq-ckpt)")
+        vqvae = build_vqvae_from_ref(vq_cfg)
+        from ..train.checkpoint import load_raw
+
+        vq_params = load_raw(vq_ckpt)["params"]
+        res = ResidualCodec(
+            vqvae, vq_params,
+            FlowCodec(model, num_streams=num_streams),
+            tuple(train["input_size"]),
+        )
+        fp = _fingerprint(flows, ckpt_path, vq_ckpt)
+        return _ResidualPipeline(res, params, fp)
+
+    model_cfg = dict(train["model"])
     model_cfg.pop("load_path", None)
     cfg = FlowCfg.from_ref(model_cfg)
     model = IDFlow(cfg)
     init_x = jnp.zeros((1, cfg.H, cfg.W, cfg.C), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), init_x)
-    raw = load_raw(ckpt_path)
-    if "params" not in raw:
-        raise SystemExit(f"{ckpt_path}: not a trainer checkpoint")
-    from flax import serialization
-
-    params = serialization.from_state_dict(params, raw["params"])
-    # fingerprint ties .lic files to the (architecture, weights) pair
-    h = hashlib.sha256()
-    h.update(json.dumps(model_cfg, sort_keys=True).encode())
-    with open(ckpt_path, "rb") as f:
-        h.update(f.read(1 << 20))
-    fingerprint = h.hexdigest()[:16]
-    return cfg, FlowCodec(model, num_streams=num_streams), params, fingerprint
+    params = _restore(params, ckpt_path)
+    fp = _fingerprint(model_cfg, ckpt_path)
+    return _PlainPipeline(
+        cfg, FlowCodec(model, num_streams=num_streams), params, fp
+    )
 
 
 def _read_image(path: str) -> np.ndarray:
@@ -97,8 +203,8 @@ def _write_image(path: str, arr: np.ndarray) -> None:
     Image.fromarray(arr.squeeze() if arr.shape[-1] == 1 else arr).save(path)
 
 
-def _to_tiles(cfg, in_path):
-    """image file -> (model-size tile batch [N,H,W,C] float grid, orig shape)."""
+def _to_tiles(pipe, in_path):
+    """image file -> (tile batch [N,th,tw,C] float grid, orig shape)."""
     import jax.numpy as jnp
 
     from ..data.loader import _pad_replicate
@@ -106,22 +212,23 @@ def _to_tiles(cfg, in_path):
 
     arr = _read_image(in_path)
     H, W, C = arr.shape
-    if C != cfg.C:
+    if C != pipe.C:
         raise SystemExit(
-            f"{in_path}: {C} channels, model expects {cfg.C}"
+            f"{in_path}: {C} channels, model expects {pipe.C}"
         )
     # pad up to tile multiples, then tile into a model-size batch
     x = arr.astype(np.float32) / 256.0
-    x = _pad_replicate(x[None], -H % cfg.H, -W % cfg.W)
-    return jnp.asarray(patch_split(x, cfg.H, cfg.W)), (H, W, C)
+    x = _pad_replicate(x[None], -H % pipe.tile_h, -W % pipe.tile_w)
+    return jnp.asarray(patch_split(x, pipe.tile_h, pipe.tile_w)), (H, W, C)
 
 
-def _write_lic(cfg, fingerprint, out_path, blobs, info, orig, in_path):
+def _write_lic(pipe, out_path, segments, info, orig, in_path):
     header = json.dumps({
         "orig": list(orig),
-        "nbits": cfg.nbits,
-        "blob_lens": [len(b) for b in blobs],
-        "fingerprint": fingerprint,
+        "nbits": pipe.nbits,
+        "pipeline": pipe.name,
+        "blob_lens": [len(b) for b in segments],
+        "fingerprint": pipe.fingerprint,
         "info": {k: v for k, v in info.items()
                  if isinstance(v, (int, float, str, bool))},
     }).encode()
@@ -129,7 +236,7 @@ def _write_lic(cfg, fingerprint, out_path, blobs, info, orig, in_path):
         f.write(_MAGIC)
         f.write(struct.pack("<I", len(header)))
         f.write(header)
-        for b in blobs:
+        for b in segments:
             f.write(b)
     coded = os.path.getsize(out_path)
     H, W, C = orig
@@ -137,27 +244,27 @@ def _write_lic(cfg, fingerprint, out_path, blobs, info, orig, in_path):
           f"{8.0 * coded / (H * W * C):.4f} bpd")
 
 
-def compress_files(cfg, codec, params, fingerprint, in_paths, out_paths):
+def compress_files(pipe, in_paths, out_paths):
     """Pipelined: ALL files are dispatched sync-free and packed with one
     host transfer (FlowCodec.compress_many serving discipline)."""
     tiles, origs = [], []
     for p in in_paths:
-        x, orig = _to_tiles(cfg, p)
+        x, orig = _to_tiles(pipe, p)
         tiles.append(x)
         origs.append(orig)
-    packed = codec.compress_many(params, tiles)
-    for in_path, out_path, (blobs, info), orig in zip(
+    packed = pipe.compress_many(tiles)
+    for in_path, out_path, (segments, info), orig in zip(
         in_paths, out_paths, packed, origs
     ):
-        _write_lic(cfg, fingerprint, out_path, blobs, info, orig, in_path)
+        _write_lic(pipe, out_path, segments, info, orig, in_path)
 
 
-def compress_file(cfg, codec, params, fingerprint, in_path, out_path):
-    compress_files(cfg, codec, params, fingerprint, [in_path], [out_path])
+def compress_file(pipe, in_path, out_path):
+    compress_files(pipe, [in_path], [out_path])
 
 
-def _read_lic(cfg, fingerprint, in_path):
-    """-> ((blobs, info), orig shape), with loud validation."""
+def _read_lic(pipe, in_path):
+    """-> ((segments, info), orig shape), with loud validation."""
     with open(in_path, "rb") as f:
         data = f.read()
     if data[:4] != _MAGIC or len(data) < 8:
@@ -167,46 +274,51 @@ def _read_lic(cfg, fingerprint, in_path):
         header = json.loads(data[8 : 8 + hlen])
     except Exception:
         raise SystemExit(f"{in_path}: corrupt header")
-    if header.get("fingerprint") != fingerprint:
+    if header.get("fingerprint") != pipe.fingerprint:
         raise SystemExit(
             f"{in_path}: was written by a different model/checkpoint "
-            f"({header.get('fingerprint')} != {fingerprint})"
+            f"({header.get('fingerprint')} != {pipe.fingerprint})"
         )
-    blobs, off = [], 8 + hlen
+    if header.get("pipeline", "plain") != pipe.name:
+        raise SystemExit(
+            f"{in_path}: {header.get('pipeline')!r} container, loaded "
+            f"config is {pipe.name!r}"
+        )
+    segments, off = [], 8 + hlen
     for n in header["blob_lens"]:
-        blobs.append(data[off : off + n])
+        segments.append(data[off : off + n])
         off += n
     if off != len(data):
         raise SystemExit(f"{in_path}: trailing/missing bytes")
     info = dict(header.get("info", {}))
     info.setdefault("batch", 1)
-    return (blobs, info), header["orig"]
+    return (segments, info), header["orig"]
 
 
-def decompress_files(cfg, codec, params, fingerprint, in_paths, out_paths):
+def decompress_files(pipe, in_paths, out_paths):
     """Pipelined: every container's decode is dispatched before the ONE
     sync that verifies all state invariants (decompress_many)."""
     from ..ops.reshape import patch_merge
 
     packed, origs = [], []
     for p in in_paths:
-        pk, orig = _read_lic(cfg, fingerprint, p)
+        pk, orig = _read_lic(pipe, p)
         packed.append(pk)
         origs.append(orig)
-    recs = codec.decompress_many(params, packed)
+    recs = pipe.decompress_many(packed)
     for in_path, out_path, rec, (H, W, C) in zip(
         in_paths, out_paths, recs, origs
     ):
         full = patch_merge(
-            np.asarray(rec), H + (-H % cfg.H), W + (-W % cfg.W)
+            np.asarray(rec), H + (-H % pipe.tile_h), W + (-W % pipe.tile_w)
         )
         arr = np.round(full[0, :H, :W, :C] * 256.0).astype(np.uint8)
         _write_image(out_path, arr)
         print(f"{in_path} -> {out_path}: {H}x{W}x{C}")
 
 
-def decompress_file(cfg, codec, params, fingerprint, in_path, out_path):
-    decompress_files(cfg, codec, params, fingerprint, [in_path], [out_path])
+def decompress_file(pipe, in_path, out_path):
+    decompress_files(pipe, [in_path], [out_path])
 
 
 def main(argv=None):
@@ -217,10 +329,13 @@ def main(argv=None):
     ap.add_argument("--input", nargs="+", required=True)
     ap.add_argument("--outdir", default=".")
     ap.add_argument("--num-streams", type=int, default=4096)
+    ap.add_argument("--vq-ckpt", default=None,
+                    help="VQ-VAE checkpoint for residual configs "
+                    "(default: the config's vqvae.checkpoint)")
     args = ap.parse_args(argv)
 
-    cfg, codec, params, fp = _load_model(
-        args.config, args.ckpt, args.num_streams
+    pipe = _load_model(
+        args.config, args.ckpt, args.num_streams, vq_ckpt=args.vq_ckpt
     )
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -229,10 +344,10 @@ def main(argv=None):
         return os.path.join(args.outdir, base + ext)
 
     if args.mode == "compress":
-        compress_files(cfg, codec, params, fp, args.input,
+        compress_files(pipe, args.input,
                        [_out(p, ".lic") for p in args.input])
     else:
-        decompress_files(cfg, codec, params, fp, args.input,
+        decompress_files(pipe, args.input,
                          [_out(p, ".png") for p in args.input])
 
 

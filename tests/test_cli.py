@@ -194,3 +194,97 @@ class TestFileCodecCLI:
                "--outdir", str(tmp_path), "--num-streams", "32"]
         with pytest.raises(SystemExit):
             main(["decompress", "--input", lic] + bad)
+
+
+class TestFileCodecResidualCLI:
+    def test_residual_config_round_trip(self, tmp_path):
+        """cli/codec on a ResidualTrainer config: the .lic carries the VQ
+        index stream + conditional residual containers and decodes with no
+        side information; plain/residual containers are not confusable."""
+        import sys
+
+        from PIL import Image
+
+        sys.path.insert(0, "tests")
+        from test_pipelines import small_flow_dict, small_vqvae_dict, \
+            synth_loader_cfg
+
+        from finalproject_losslessimagecompression_tpu.cli.codec import main
+        from finalproject_losslessimagecompression_tpu.train import (
+            ResidualTrainer,
+            VQVAETrainer,
+        )
+
+        vq_ckpt = str(tmp_path / "vq.ckpt")
+        data = synth_loader_cfg((16, 16, 3))
+        VQVAETrainer(
+            model=small_vqvae_dict(),
+            train_dataloader={**data, "train": True},
+            test_dataloader=data,
+            optimizer=dict(name="Adam", lr=1e-3),
+            scheduler=dict(name="Constant"),
+            max_step=2, step_per_epoch=10,
+            evaluate_interval=1000, save_interval=1000,
+            save_path=vq_ckpt, writer_path=str(tmp_path / "vlogs"),
+            train_args=dict(alpha=1.0),
+        ).train()
+        res_ckpt = str(tmp_path / "res.ckpt")
+        ResidualTrainer(
+            flows=small_flow_dict(8, 8, name="ConditionalFlows"),
+            vqvae={**small_vqvae_dict(), "checkpoint": vq_ckpt},
+            input_size=[16, 16],
+            train_dataloader=synth_loader_cfg((16, 16, 3), train=True),
+            test_dataloader=synth_loader_cfg((16, 16, 3)),
+            patch_batch_size=0,
+            optimizer=dict(name="Adamax", lr=1e-3),
+            scheduler=dict(name="Constant"),
+            max_step=2, step_per_epoch=10,
+            evaluate_interval=1000, save_interval=1000,
+            save_path=res_ckpt, writer_path=str(tmp_path / "rlogs"),
+        ).train()
+
+        cfg_path = str(tmp_path / "res.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(
+                dict(train=dict(
+                    trainer="ResidualTrainer",
+                    flows=small_flow_dict(8, 8, name="ConditionalFlows"),
+                    vqvae={**small_vqvae_dict(), "checkpoint": vq_ckpt},
+                    input_size=[16, 16],
+                )), f)
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (30, 18, 3)).astype(np.uint8)
+        src = str(tmp_path / "r.png")
+        Image.fromarray(img).save(src)
+        args = ["--config", cfg_path, "--ckpt", res_ckpt,
+                "--outdir", str(tmp_path), "--num-streams", "32"]
+        main(["compress", "--input", src] + args)
+        main(["decompress", "--input", str(tmp_path / "r.lic")] + args)
+        out = np.asarray(Image.open(tmp_path / "r.png"))
+        assert np.array_equal(out, img)
+
+        # a plain-pipeline .lic must be rejected by the residual config
+        plain_cfg = "configs/smoke_synthetic.yaml"
+        simg = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        Image.fromarray(simg).save(str(tmp_path / "s.png"))
+        # (reuse the trained smoke ckpt if present, else train 2 steps)
+        smoke_ckpt = "logs/smoke.ckpt"
+        if not os.path.exists(smoke_ckpt):
+            from finalproject_losslessimagecompression_tpu.cli.train import (
+                build_trainer,
+                load_config,
+            )
+
+            c = load_config(plain_cfg)
+            c["train"].update(max_step=2, step_per_epoch=2,
+                              evaluate_interval=100,
+                              save_path=str(tmp_path / "smoke.ckpt"),
+                              writer_path=str(tmp_path / "slogs"))
+            build_trainer(c).train()
+            smoke_ckpt = str(tmp_path / "smoke.ckpt")
+        main(["compress", "--input", str(tmp_path / "s.png"),
+              "--config", plain_cfg, "--ckpt", smoke_ckpt,
+              "--outdir", str(tmp_path), "--num-streams", "32"])
+        with pytest.raises(SystemExit):
+            main(["decompress", "--input", str(tmp_path / "s.lic")] + args)
