@@ -101,6 +101,39 @@ class _ResidualPipeline:
         ]
 
 
+class _TwoLevelPipeline:
+    """TwoLevelFlows configs (train.model.name == TwoLevelFlows):
+    TwoLevelCodec over (H, W) tiles (rough + fine containers)."""
+
+    name = "twolevel"
+
+    def __init__(self, codec, params, fingerprint):
+        self.codec = codec
+        self.params = params
+        self.fingerprint = fingerprint
+        cfg = codec.cfg
+        self.tile_h, self.tile_w, self.C = cfg.H, cfg.W, cfg.C
+        self.nbits = cfg.nbits
+
+    def compress_many(self, tiles_list):
+        out = []
+        for x in tiles_list:
+            blobs, info = self.codec.compress(self.params, x)
+            out.append((list(blobs), {"batch": info["batch"]}))
+        return out
+
+    def decompress_many(self, packed):
+        cfg = self.codec.cfg
+        ntiles = (cfg.Hp // cfg.fine.H) * (cfg.Wp // cfg.fine.W)
+        recs = []
+        for segs, info in packed:
+            b = int(info["batch"])
+            full = {"batch": b, "rough": {"batch": b},
+                    "fine": {"batch": b * ntiles}}
+            recs.append(self.codec.decompress(self.params, segs, full))
+        return recs
+
+
 def _fingerprint(model_cfg: dict, *ckpt_paths: str) -> str:
     """Ties .lic files to the (architecture, weights) pair."""
     h = hashlib.sha256()
@@ -168,6 +201,21 @@ def _load_model(config_path: str, ckpt_path: str, num_streams: int,
 
     model_cfg = dict(train["model"])
     model_cfg.pop("load_path", None)
+
+    if model_cfg.get("name") == "TwoLevelFlows":
+        from ..models.twolevel import TwoLevelCfg, TwoLevelFlow
+        from ..models.twolevel_codec import TwoLevelCodec
+
+        tcfg = TwoLevelCfg.from_ref(model_cfg)
+        model = TwoLevelFlow(tcfg)
+        init_x = jnp.zeros((1, tcfg.H, tcfg.W, tcfg.C), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), init_x)
+        params = _restore(params, ckpt_path)
+        fp = _fingerprint(model_cfg, ckpt_path)
+        return _TwoLevelPipeline(
+            TwoLevelCodec(model, num_streams=num_streams), params, fp
+        )
+
     cfg = FlowCfg.from_ref(model_cfg)
     model = IDFlow(cfg)
     init_x = jnp.zeros((1, cfg.H, cfg.W, cfg.C), jnp.float32)

@@ -288,3 +288,55 @@ class TestFileCodecResidualCLI:
               "--outdir", str(tmp_path), "--num-streams", "32"])
         with pytest.raises(SystemExit):
             main(["decompress", "--input", str(tmp_path / "s.lic")] + args)
+
+
+class TestFileCodecTwoLevelCLI:
+    def test_twolevel_config_round_trip(self, tmp_path):
+        """cli/codec on a TwoLevelFlows config: rough + fine containers in
+        one .lic, decoded bit-exact; info reconstruction (nested rough/fine
+        batches) is derived from the config, not stored."""
+        import sys
+
+        from PIL import Image
+
+        sys.path.insert(0, "tests")
+        from test_pipelines import small_flow_dict, synth_loader_cfg
+
+        from finalproject_losslessimagecompression_tpu.cli.codec import main
+        from finalproject_losslessimagecompression_tpu.train import (
+            TwoLevelTrainer,
+        )
+
+        model_cfg = dict(
+            name="TwoLevelFlows", H=16, W=16, C=3, pad=[0, 0],
+            rough_flows=small_flow_dict(8, 8, scale=2),
+            fine_flows=small_flow_dict(8, 8, scale=2),
+            batchsize=256,
+        )
+        ckpt = str(tmp_path / "tl.ckpt")
+        TwoLevelTrainer(
+            model=dict(model_cfg),
+            train_dataloader=synth_loader_cfg((16, 16, 3), train=True),
+            test_dataloader=synth_loader_cfg((16, 16, 3)),
+            optimizer=dict(name="Adamax", lr=1e-3),
+            scheduler=dict(name="Constant"),
+            max_step=2, step_per_epoch=10,
+            evaluate_interval=1000, save_interval=1000,
+            save_path=ckpt, writer_path=str(tmp_path / "logs"),
+            max_eval_batches=1,
+        ).train()
+        cfg_path = str(tmp_path / "tl.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(dict(train=dict(trainer="TwoLevelTrainer",
+                                           model=model_cfg)), f)
+
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 256, (25, 16, 3)).astype(np.uint8)
+        src = str(tmp_path / "t.png")
+        Image.fromarray(img).save(src)
+        args = ["--config", cfg_path, "--ckpt", ckpt,
+                "--outdir", str(tmp_path), "--num-streams", "32"]
+        main(["compress", "--input", src] + args)
+        main(["decompress", "--input", str(tmp_path / "t.lic")] + args)
+        out = np.asarray(Image.open(tmp_path / "t.png"))
+        assert np.array_equal(out, img)
