@@ -96,7 +96,7 @@ def bench_e2e(cfg, model, params, batch: int, iters: int, queue: int = 4):
     codec = FlowCodec(model, num_streams=8192)
     # warmup (compiles)
     packed = codec.compress_many(params, xs)
-    recs = codec.decompress_many(params, packed)
+    recs = codec.decompress_many(params, packed, fetch=True)
     exact = all(
         bool(np.array_equal(np.asarray(r), np.asarray(x)))
         for r, x in zip(recs, xs)
@@ -119,8 +119,7 @@ def bench_e2e(cfg, model, params, batch: int, iters: int, queue: int = 4):
     for _ in range(iters):
         t0 = time.time()
         packed = codec.compress_many(params, xs)
-        recs = codec.decompress_many(params, packed)
-        jax.block_until_ready(recs[-1])
+        recs = codec.decompress_many(params, packed, fetch=True)
         times.append(time.time() - t0)
     dt = statistics.median(times)
 
@@ -171,16 +170,72 @@ def bench_single_image_latency(cfg, model, params, iters: int = 20):
     x = _batches(1, 1, seed=3)[0]
     codec = FlowCodec(model, num_streams=8192)
     blobs, info = codec.compress(params, x)  # warm compile
-    rec = codec.decompress(params, blobs, info)
+    rec = codec.decompress(params, blobs, info, fetch=True)
     assert np.array_equal(np.asarray(rec), np.asarray(x))
     times = []
     for _ in range(iters):
         t0 = time.time()
         blobs, info = codec.compress(params, x)
-        rec = codec.decompress(params, blobs, info)
-        jax.block_until_ready(rec)
+        rec = codec.decompress(params, blobs, info, fetch=True)
         times.append(time.time() - t0)
-    return statistics.median(times)
+
+    # the tunnel round-trip floor: a compress (1 blocking fetch in
+    # pack_streams_many) + decompress (1 blocking fetch of data+invariants)
+    # cannot beat ~2 host<->device round trips regardless of compute
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda v: v + 1)
+    z = jax.block_until_ready(f(jnp.zeros(())))
+    rts = []
+    for _ in range(10):
+        # a FRESH dispatch + result fetch each sample (a fetched jax.Array
+        # caches its host value, so re-fetching z would measure nothing)
+        t0 = time.time()
+        z = jax.device_get(f(z))
+        rts.append(time.time() - t0)
+        z = jnp.asarray(z)
+    rt = statistics.median(rts)
+    return statistics.median(times), rt
+
+
+def bench_train_mfu(cfg, model, params, batch: int, steps: int = 10):
+    """Flagship train-step wall clock + model FLOPs -> achieved TFLOP/s and
+    MFU (fraction of the chip's matmul peak).  FLOPs come from XLA's own
+    cost analysis of the compiled step (includes fwd+bwd+optimizer)."""
+    import jax
+    import optax
+
+    from finalproject_losslessimagecompression_tpu.train.trainer import (
+        make_train_step,
+    )
+    from finalproject_losslessimagecompression_tpu.utils.profiling import (
+        compiled_flops,
+        device_peak_tflops,
+    )
+
+    opt = optax.adamax(1e-4)
+    opt_state = opt.init(params)
+    step_fn, _ = make_train_step(model, opt)
+    x = _batches(batch, 1, seed=5)[0]
+    flops = compiled_flops(step_fn, params, opt_state, x)
+    # warmup (compile + cache) -- step donates params/opt_state, so thread
+    params, opt_state, loss, _ = step_fn(params, opt_state, x)
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for _ in range(steps):
+        params, opt_state, loss, _ = step_fn(params, opt_state, x)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / steps
+    out = {"train_step_time_ms": round(dt * 1e3, 2)}
+    if flops:
+        tflops = flops / dt / 1e12
+        out["train_flops_per_step"] = flops
+        out["train_achieved_tflops"] = round(tflops, 2)
+        peak = device_peak_tflops()
+        if peak:
+            out["train_mfu_pct"] = round(100.0 * tflops / peak, 2)
+            out["mfu_peak_tflops_bf16"] = peak
+    return out
 
 
 def bench_codec_only(n_symbols: int, iters: int):
@@ -310,7 +365,8 @@ def main():
     imgs_per_s, exact, bpd, analytic_bpd, phases = bench_e2e(
         cfg, model, params, batch, args.iters, args.queue
     )
-    latency_s = bench_single_image_latency(cfg, model, params)
+    latency_s, tunnel_rt_s = bench_single_image_latency(cfg, model, params)
+    mfu = bench_train_mfu(cfg, model, params, batch)
     n_sym = 96 * 64 * 64 * 3  # production-scale message (~1.2M symbols)
     sym_per_s, dev_rates, (v, m, s) = bench_codec_only(n_sym, args.iters)
     base = bench_native_baseline(v, m, s)
@@ -330,9 +386,15 @@ def main():
         "real_bpd": round(bpd, 4),
         "analytic_bpd": round(analytic_bpd, 4),
         "single_image_latency_ms": round(latency_s * 1e3, 2),
+        # compress + decompress each carry one mandatory blocking
+        # host<->device round trip; 2x the measured tunnel RT is the
+        # architecture's latency floor on this runtime
+        "tunnel_rt_ms": round(tunnel_rt_s * 1e3, 2),
+        "latency_floor_ms": round(2 * tunnel_rt_s * 1e3, 2),
         "native_single_image_ms": (
             round(native_img_latency * 1e3, 2) if base else None
         ),
+        **mfu,
         "codec_sym_per_s": round(sym_per_s, 1),
         "codec_device_sym_per_s": round(dev_best, 1),
         "codec_device_scan_sym_per_s": round(dev_rates["scan"], 1),

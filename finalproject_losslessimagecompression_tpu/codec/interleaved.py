@@ -312,9 +312,36 @@ def _plan_steps(n: int, S: int) -> int:
 
 # Pallas kernels are ON by default on TPU for supported shapes (bit-exact
 # round-trips verified on hardware, tests/test_pallas.py); LIC_NO_PALLAS=1
-# is the escape hatch, and any Mosaic compile failure disables them for
-# the rest of the process (_disable_pallas).
+# is the escape hatch, and a MOSAIC compile/lowering failure disables them
+# for the rest of the process (_disable_pallas, logged once).  Any other
+# exception from the encode/decode call (OOM, bad input, interrupts)
+# propagates -- falling back on those would silently degrade every
+# subsequent encode for a reason unrelated to the kernels.
 _PALLAS_DISABLED = [os.environ.get("LIC_NO_PALLAS", "") == "1"]
+
+
+def _is_mosaic_error(e: BaseException) -> bool:
+    """True only for Mosaic/Pallas compile or lowering failures -- the one
+    class of error where the scan path is a sound, bit-compatible fallback."""
+    seen = set()
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        text = f"{type(e).__module__}.{type(e).__name__}: {e}".lower()
+        if "mosaic" in text or "pallas" in text:
+            return True
+        e = e.__cause__ or e.__context__
+    return False
+
+
+def _pallas_fallback(e: BaseException) -> None:
+    """Disable the kernels for the process and say why (once)."""
+    import logging
+
+    _disable_pallas()
+    logging.getLogger(__name__).warning(
+        "Pallas rANS kernel failed to compile; falling back to the "
+        "lax.scan backend for the rest of the process: %s", e
+    )
 
 
 def _pallas_ok(S: int, k: int) -> bool:
@@ -383,10 +410,10 @@ def interleaved_encode(
         buf, total, hi, lo, oow_count, oow, v_orig = _encode_scan(
             values, means, scales, S, k, use_pallas, seeds
         )
-    except Exception:
-        if not use_pallas:
+    except Exception as e:
+        if not use_pallas or not _is_mosaic_error(e):
             raise
-        _disable_pallas()  # Mosaic rejected the kernel; fall back for good
+        _pallas_fallback(e)  # Mosaic rejected the kernel; fall back for good
         buf, total, hi, lo, oow_count, oow, v_orig = _encode_scan(
             values, means, scales, S, k, False, seeds
         )
@@ -571,9 +598,9 @@ def interleaved_decode(
     )
     try:
         vals, hi, lo, ptr = _decode_scan(*args, use_pallas)
-    except Exception:
-        if not use_pallas:
+    except Exception as e:
+        if not use_pallas or not _is_mosaic_error(e):
             raise
-        _disable_pallas()  # Mosaic rejected the kernel; scan is bit-compatible
+        _pallas_fallback(e)  # Mosaic rejected the kernel; scan is bit-compatible
         vals, hi, lo, ptr = _decode_scan(*args, False)
     return vals, hi, lo

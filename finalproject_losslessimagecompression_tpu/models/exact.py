@@ -51,16 +51,26 @@ class FlowCodec:
         self,
         model: IDFlow,
         num_streams: int = 8192,
-        granularity: str = "level",
+        granularity: str | None = None,
     ):
-        # "level" (default): one program per level per direction -- good
-        #   dispatch economy at moderate compile cost.
-        # "fused": the entire compress / decompress pipeline as ONE program
-        #   each -- fewest dispatches, but the XLA program (nsplit rANS
-        #   scans + flows) compiles very slowly on remote-compile runtimes;
-        #   opt in where compilation is local/cached.
+        # "fused" (default on TPU): the entire compress / decompress
+        #   pipeline as ONE program each -- fewest dispatches, which is
+        #   what single-image latency is made of on remote-tunnel
+        #   runtimes.  The big XLA program compiles slowly the FIRST time;
+        #   the persistent compilation cache (.jax_cache/, see bench.py /
+        #   cli) makes subsequent runs pay only dispatch.
+        # "level" (default off-TPU): one program per level per direction
+        #   -- good dispatch economy at moderate compile cost (tests
+        #   compile dozens of model variants on CPU; fused would dominate
+        #   suite runtime there).
         # "nn": every coupling NN through its own shared executable --
         #   airtight encode/decode bit-parity, many small dispatches.
+        if granularity is None:
+            try:
+                on_tpu = jax.devices()[0].platform == "tpu"
+            except Exception:
+                on_tpu = False
+            granularity = "fused" if on_tpu else "level"
         assert granularity in ("fused", "level", "nn")
         self.model = model
         self.cfg = model.cfg
@@ -454,6 +464,21 @@ class FlowCodec:
             from ..codec.container import unpack_streams
 
             encs = [unpack_streams(b) for b in blobs]
+            # validate container metadata against the model's level plans
+            # (the level-granular path gets this from
+            # codec.coder.decode_streams_deferred; the fused program derives
+            # shapes from the plans, so a mismatched container must be
+            # rejected here, not silently tolerated)
+            for level, e in enumerate(encs):
+                p = self.plans[level]
+                want_n = fold * p.z_ch * p.h * p.w
+                want_S = self._level_S(level, fold)
+                if e.n != want_n or e.num_streams != want_S:
+                    raise ValueError(
+                        f"container level {level}: symbol count/streams "
+                        f"({e.n}, {e.num_streams}) do not match the model "
+                        f"plan ({want_n}, {want_S})"
+                    )
             if all(e.oow_count <= self.MAX_OUTLIERS for e in encs):
                 bufs, nws, his, los, dons = [], [], [], [], []
                 oidx, ovals = [], []
@@ -518,22 +543,38 @@ class FlowCodec:
         return x, oks
 
     @staticmethod
-    def _check_oks(oks):
-        got = jax.device_get(list(oks))
+    def _check_got(got):
         if not all(bool(np.all(g)) for g in got):
             raise ValueError(
                 "rANS decode failed: state did not return to 2^32"
             )
 
-    def decompress(self, params, blobs: Sequence[bytes], info: dict, cond=None):
-        """Decode containers back to the exact input batch."""
+    @staticmethod
+    def _check_oks(oks):
+        FlowCodec._check_got(jax.device_get(list(oks)))
+
+    def decompress(self, params, blobs: Sequence[bytes], info: dict,
+                   cond=None, fetch: bool = False):
+        """Decode containers back to the exact input batch.
+
+        fetch=True returns a host numpy array and folds the result transfer
+        into the SAME device_get as the state-invariant check -- one host
+        round trip total, the single-image latency fast path.  The default
+        returns a device array (check sync only; the data stays put for
+        downstream device work, e.g. ResidualCodec's res + rec)."""
         x, oks = self._decompress_deferred(params, blobs, info, cond)
+        if fetch:
+            x_np, got = jax.device_get((x, list(oks)))
+            self._check_got(got)
+            return x_np
         self._check_oks(oks)  # one sync for all levels
         return x
 
-    def decompress_many(self, params, packed, conds=None):
+    def decompress_many(self, params, packed, conds=None,
+                        fetch: bool = False):
         """Pipelined serving decode of [(blobs, info), ...]: dispatch every
-        batch's decode, then verify ALL state invariants with one sync.
+        batch's decode, then verify ALL state invariants with one sync
+        (fetch=True also returns the decoded batches in that same sync).
         Returns the list of decoded batches."""
         xs, oks = [], []
         for i, (blobs, info) in enumerate(packed):
@@ -541,6 +582,10 @@ class FlowCodec:
             x, ok = self._decompress_deferred(params, blobs, info, cond)
             xs.append(x)
             oks.extend(ok)
+        if fetch:
+            xs_np, got = jax.device_get((xs, oks))
+            self._check_got(got)
+            return xs_np
         self._check_oks(oks)  # ONE sync for the whole queue
         return xs
 

@@ -295,10 +295,26 @@ class Trainer:
             raise
 
     def _train_loop(self):
+        import time
+
+        from ..utils.profiling import compiled_flops, device_peak_tflops
+
         log = math.log(2.0)
+        flops = None
+        peak = device_peak_tflops()
+        last_sync = None
         while self.step < self.max_step:
             self.step += 1
             batch = jnp.asarray(next(self.trainloader))
+            if flops is None:
+                # FLOPs/step from XLA's cost model (once; logged with the
+                # achieved-TFLOP/s rate below).  Uses abstract args, so the
+                # donated params/opt_state buffers are never touched.
+                flops = compiled_flops(
+                    self.train_step, self.params, self.opt_state, batch
+                ) or 0.0
+                if flops:
+                    self.writer.add_scalar("flops per step", flops, 0)
             self.params, self.opt_state, loss, aux = self.train_step(
                 self.params, self.opt_state, batch
             )
@@ -308,6 +324,19 @@ class Trainer:
                 bpd = float(loss) / log
                 self.writer.add_scalar("train loss", float(loss), self.step)
                 self.writer.add_scalar("train bpd", bpd, self.step)
+                now = time.time()
+                if last_sync is not None:
+                    step_s = (now - last_sync) / self.log_every
+                    self.writer.add_scalar("step time s", step_s, self.step)
+                    if flops:
+                        tf = flops / step_s / 1e12
+                        self.writer.add_scalar("achieved tflops", tf,
+                                               self.step)
+                        if peak:
+                            self.writer.add_scalar(
+                                "mfu pct", 100.0 * tf / peak, self.step
+                            )
+                last_sync = now
 
             if self._at_interval(self.evaluate_interval):
                 for i, (mx, mn, sb) in enumerate(

@@ -46,6 +46,58 @@ class PhaseTimer:
         )
 
 
+def compiled_flops(jitted, *args, **kwargs):
+    """Total FLOPs of one call of a jitted function, from XLA's own cost
+    analysis of the compiled executable (fwd + bwd + optimizer, everything
+    in the program).  Args may be concrete arrays or ShapeDtypeStructs;
+    they are abstracted so donated buffers are never touched.  Returns
+    None when the backend exposes no cost model."""
+    import jax
+
+    try:
+        abstract = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), (args, kwargs)
+        )
+        a_args, a_kwargs = abstract
+        ca = jitted.lower(*a_args, **a_kwargs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+# dense matmul peak per CHIP, bf16 inputs / f32 accumulate (the MXU's
+# native mode and the standard MFU denominator), from the public TPU
+# system specs.  device_kind strings follow jax's libtpu naming.
+_PEAK_TFLOPS_BF16 = (
+    ("v6e", 918.0), ("v6 lite", 918.0),
+    ("v5p", 459.0),
+    ("v5e", 197.0), ("v5 lite", 197.0), ("v5litepod", 197.0),
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 45.0),
+)
+
+
+def device_peak_tflops() -> float | None:
+    """bf16 matmul peak of the current chip (None off-TPU / unknown kind)."""
+    import jax
+
+    try:
+        d = jax.devices()[0]
+        if d.platform != "tpu":
+            return None
+        kind = d.device_kind.lower()
+    except Exception:
+        return None
+    for key, peak in _PEAK_TFLOPS_BF16:
+        if key in kind:
+            return peak
+    return None
+
+
 @contextlib.contextmanager
 def device_trace(logdir: str) -> Iterator[None]:
     """jax.profiler trace context (view with TensorBoard's profile plugin)."""

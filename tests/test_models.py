@@ -308,3 +308,105 @@ class TestBFloat16:
         flat = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(t)).all() for t in flat)
         assert any(float(jnp.abs(t).max()) > 0 for t in flat)
+
+
+class TestEscapeMatrix:
+    """Out-of-window escapes on the FUSED and SHARDED paths (VERDICT r2
+    weak #9).  The fused decompress only handles up to MAX_OUTLIERS escapes
+    per level in-program; beyond that it must fall back to the
+    level-granular path and still round-trip exactly.  The sharded decode
+    refuses (decode on a single device instead)."""
+
+    def _outlier_batch(self, cfg, rng, batch=2):
+        # a handful of extreme pixels drive |z - mean| past the 2048-bin
+        # window at an untrained prior (mean ~ 0, floored logscale)
+        x = np.asarray(grid_batch(rng, (batch, cfg.H, cfg.W, cfg.C))).copy()
+        x[:, ::3, ::3, 0] += 40.0  # far outside mean +- 4
+        return jnp.asarray(x)
+
+    def test_fused_falls_back_beyond_max_outliers(self, model_and_params,
+                                                  rng):
+        cfg, model, params = model_and_params
+        codec = FlowCodec(model, num_streams=64, granularity="fused")
+        codec.MAX_OUTLIERS = 4  # instance override; class default is 256
+        x = self._outlier_batch(cfg, rng)
+        blobs, info = codec.compress(params, x)
+        from finalproject_losslessimagecompression_tpu.codec.container import (
+            unpack_streams,
+        )
+
+        counts = [unpack_streams(b).oow_count for b in blobs]
+        assert max(counts) > 4, counts  # the matrix branch is actually hit
+
+        fused_called = []
+        real = codec._decompress_all
+        codec._decompress_all = lambda *a, **k: (
+            fused_called.append(True) or real(*a, **k)
+        )
+        rec = codec.decompress(params, blobs, info)
+        assert not fused_called  # fell back to the level-granular path
+        assert np.array_equal(np.asarray(rec), np.asarray(x))
+
+    def test_fused_handles_outliers_within_budget(self, model_and_params,
+                                                  rng):
+        """A few escapes stay on the fused path (idx/vals padded into the
+        program) and decode exactly."""
+        cfg, model, params = model_and_params
+        codec = FlowCodec(model, num_streams=64, granularity="fused")
+        x = np.asarray(grid_batch(rng, (2, cfg.H, cfg.W, cfg.C))).copy()
+        x[0, 0, 0, 0] += 40.0
+        x[1, 3, 2, 1] -= 40.0
+        x = jnp.asarray(x)
+        blobs, info = codec.compress(params, x)
+        from finalproject_losslessimagecompression_tpu.codec.container import (
+            unpack_streams,
+        )
+
+        assert any(unpack_streams(b).oow_count > 0 for b in blobs)
+        rec = codec.decompress(params, blobs, info)
+        assert np.array_equal(np.asarray(rec), np.asarray(x))
+
+    def test_sharded_decode_refuses_outlier_overflow(self, model_and_params,
+                                                     rng):
+        import jax as _jax
+
+        from finalproject_losslessimagecompression_tpu.parallel.flow_codec import (
+            ShardedFlowCodec,
+        )
+        from jax.sharding import Mesh
+
+        cfg, model, params = model_and_params
+        codec = FlowCodec(model, num_streams=64, granularity="fused")
+        codec.MAX_OUTLIERS = 2
+        mesh = Mesh(np.array(_jax.devices()[:2]), ("data",))
+        sc = ShardedFlowCodec(codec, mesh)
+        x = self._outlier_batch(cfg, rng, batch=2)
+        blobs, info = sc.compress(params, x)
+        with pytest.raises(ValueError, match="out-of-window"):
+            sc.decompress(params, blobs, info)
+        # the documented remedy works: single-device FlowCodec decode of
+        # each shard's containers
+        ns = cfg.nsplit
+        for d in range(2):
+            shard = codec.decompress(
+                params, blobs[d * ns : (d + 1) * ns], {"batch": 1}
+            )
+            assert np.array_equal(np.asarray(shard), np.asarray(x[d : d + 1]))
+
+
+class TestDecompressFetch:
+    def test_fetch_returns_host_arrays(self, model_and_params, rng):
+        """fetch=True folds the result transfer into the invariant-check
+        sync and returns numpy; values identical to the device path."""
+        cfg, model, params = model_and_params
+        codec = FlowCodec(model, num_streams=64)
+        xs = [grid_batch(rng, (2, cfg.H, cfg.W, cfg.C)) for _ in range(2)]
+        packed = codec.compress_many(params, xs)
+        recs = codec.decompress_many(params, packed, fetch=True)
+        for x, r in zip(xs, recs):
+            assert isinstance(r, np.ndarray)
+            assert np.array_equal(r, np.asarray(x))
+        blobs, info = packed[0]
+        one = codec.decompress(params, blobs, info, fetch=True)
+        assert isinstance(one, np.ndarray)
+        assert np.array_equal(one, np.asarray(xs[0]))
