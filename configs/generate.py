@@ -213,8 +213,7 @@ CONFIGS["resflow-direct"] = dict(train=dict(
     **tail("resflows_direct_prior704")))
 
 # -- conditional residual flows, full image, strided-conv conditioning
-#    (ref: resflow-direct-cond.yaml; resflow-direct-cond-1.yaml is an
-#    identical duplicate in the reference and is covered by this config)
+#    (ref: resflow-direct-cond.yaml)
 CONFIGS["resflow-direct-cond"] = dict(train=dict(
     trainer="ResidualTrainer",
     flows=flow(name="ConditionalFlows", H=216, W=184, nflows=8, nsplit=3,
@@ -390,6 +389,11 @@ CONFIGS["smoke_synthetic"] = dict(train=dict(
     optimizer=opt(), scheduler=sched(), max_step=50, step_per_epoch=10,
     evaluate_interval=50, save_interval=50,
     save_path="./logs/smoke.ckpt", writer_path="./logs/log_smoke"))
+
+
+# the reference ships resflow-direct-cond-1.yaml as a byte-identical
+# duplicate of resflow-direct-cond.yaml; mirror it for 23/23 config parity
+CONFIGS["resflow-direct-cond-1"] = CONFIGS["resflow-direct-cond"]
 
 
 def main():

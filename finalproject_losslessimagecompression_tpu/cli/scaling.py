@@ -70,6 +70,15 @@ def main(argv=None):
             "for completeness only."
         ),
     }
+    if platform != "tpu" or len(jax.devices()) < 2:
+        # say it loudly: the BASELINE.md >=85% weak-scaling north star is
+        # a multi-chip ICI property; nothing measured on a virtual mesh
+        # (or a single chip) can stand in for it
+        out["weak_scaling_on_hardware"] = (
+            "unmeasured (no multi-chip TPU available; the `weak` numbers "
+            "below are virtual-mesh, capped at physical_cores/N, and must "
+            "NOT be read against the >=85% north star)"
+        )
     for mode in ("overhead", "weak"):
         res = measure_scaling(
             model, per_device_batch=args.batch, steps=args.steps, mode=mode

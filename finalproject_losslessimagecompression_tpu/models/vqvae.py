@@ -204,13 +204,21 @@ def build_vqvae_from_ref(cfg: dict) -> VQVAE:
     vq = dict(cfg.pop("vectorquantizer", {}) or {})
     dist = dict(cfg.pop("distribution", {}) or {"name": "BinomialDistribution"})
     block_num = enc.pop("block_num", dec.pop("block_num", 2))
+    # batch_norm lives at the top level AND/OR inside the ResBlock subtree
+    # in the reference YAML (configs/vqvae_for_celeba_full.yaml:11-13,26);
+    # honor either spelling
+    bn = cfg.pop("batch_norm", None)
+    if bn is None:
+        blk = dict(enc.get("block", {}) or {})
+        blk_d = dict(dec.get("block", {}) or {})
+        bn = blk.get("batch_norm", blk_d.get("batch_norm", False))
     return VQVAE(
         channel=cfg.pop("channel", 3),
         embed_num=cfg.pop("embed_num", 4096),
         embed_dim=cfg.pop("embed_dim", 512),
         hidden_dims=tuple(cfg.pop("hidden_dims", (128, 256))),
         block_num=block_num,
-        batch_norm=cfg.pop("batch_norm", False),
+        batch_norm=bool(bn),
         distribution=dist.get("name", "BinomialDistribution"),
     )
 

@@ -29,23 +29,41 @@ def make_vqvae_step(model: VQVAE, optimizer, alpha: float, beta: float,
 
     dist = DISTRIBUTIONS.get(model.distribution)()
 
+    has_bn = model.batch_norm
+
     def loss_fn(params, batch):
-        out, vqloss, counts, flat = model.apply(
-            params, (batch - 0.5) / 0.5, beta, gamma
-        )
+        if has_bn:
+            # reference semantics: BatchNorm trains its running stats
+            # during VQ-VAE training (model.train() at trainer.py:505-509
+            # over nnblock.py:60-84) -- normalize with BATCH stats and
+            # thread the updated running stats out of the step
+            (out, vqloss, counts, flat), mut = model.apply(
+                params, (batch - 0.5) / 0.5, beta, gamma, True,
+                mutable=["batch_stats"],
+            )
+        else:
+            out, vqloss, counts, flat = model.apply(
+                params, (batch - 0.5) / 0.5, beta, gamma
+            )
+            mut = {}
         out = out * 0.5 + 0.5
         recloss = -jnp.mean(dist.log_prob(batch, out))
-        return alpha * recloss + vqloss, (recloss, vqloss, counts, flat)
+        return alpha * recloss + vqloss, (recloss, vqloss, counts, flat, mut)
 
     def step(params, opt_state, batch):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch
         )
+        recloss, vqloss, counts, flat, mut = aux
         import optax
 
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, aux
+        if has_bn:
+            # running stats carry no gradient (train mode normalizes with
+            # batch stats); they update by the BatchNorm momentum rule
+            params = {**dict(params), "batch_stats": mut["batch_stats"]}
+        return params, opt_state, loss, (recloss, vqloss, counts, flat)
 
     def eval_recon(params, batch):
         out = model.apply(params, (batch - 0.5) / 0.5,

@@ -51,12 +51,16 @@ def test_phase_timer():
 
 
 def test_overhead_efficiency_at_8_devices():
-    """North-star assertion (BASELINE.md: >=85% scaling efficiency): on the
-    virtual CPU mesh -- where all 8 "devices" share 2 physical cores, so
-    true weak scaling is hardware-capped at cores/N -- the honest 85%
-    target applies to `overhead` mode: fixed total compute, growing mesh;
-    efficiency measures what survives partitioning + XLA collectives.
-    Best-of-2 repetitions damps scheduler noise on the shared host."""
+    """OVERHEAD-MODE PROXY for the BASELINE.md >=85% scaling north star --
+    NOT the north star itself.  The real target is weak scaling (fixed
+    per-device batch) across physical chips over ICI, which is UNMEASURED
+    in this environment (single chip; cli/scaling.py stamps the artifact
+    with `weak_scaling_on_hardware: unmeasured` accordingly).  What a
+    virtual CPU mesh -- 8 "devices" timesharing 2 physical cores, weak
+    scaling hardware-capped at cores/N -- CAN measure honestly is
+    `overhead` mode: fixed total compute, growing mesh; efficiency is what
+    survives partitioning + XLA collectives.  Best-of-2 repetitions damps
+    scheduler noise on the shared host."""
     from finalproject_losslessimagecompression_tpu.models import (
         CouplingCfg,
         DenseBlockCfg,
