@@ -26,6 +26,15 @@ class DenseBlockCfg:
     # coding contract is shared-executable determinism, not float32 (see
     # models/exact.py); the airtight granularity="nn" mode is unaffected.
     dtype: str = "float32"
+    # fold each layer's 1x1 conv into its 3x3 (exact composition in weight
+    # space; see DenseLayer) -- removes ~45% of the block's MACs.  MEASURED
+    # SLOWER on v5e at flagship scale (results/mfu_roofline_r03.json:
+    # 20.2ms vs 17.9ms/step despite 1.32 vs 2.40 TFLOP): the 1x1 is a
+    # full-lane MXU matmul while the lane-starved 3x3 (growth ~43 < 128
+    # output lanes) bounds the step either way, so removing the 1x1's
+    # FLOPs removes cheap work and adds per-layer weight-contraction
+    # overhead.  Kept as an option; default off.
+    fuse_1x1: bool = False
 
     @classmethod
     def from_ref(cls, cfg: dict) -> "DenseBlockCfg":
@@ -39,6 +48,7 @@ class DenseBlockCfg:
             depth=cfg.pop("depth", 8),
             act=act,
             dtype=cfg.pop("dtype", "float32"),
+            fuse_1x1=cfg.pop("fuse_1x1", True),
         )
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 from ..registry import ACTIVATIONS
 from .config import DenseBlockCfg
@@ -34,19 +35,60 @@ def activation(name: str):
 
 
 class DenseLayer(nn.Module):
-    """x -> concat(x, act(conv3x3(conv1x1(x)))) growing by `growth` channels."""
+    """x -> concat(x, act(conv3x3(conv1x1(x)))) growing by `growth` channels.
+
+    fuse=True (default) computes the SAME function as one 3x3 conv: there
+    is no nonlinearity between the 1x1 and the 3x3 (reference:
+    nnlayer.py:44-50), so conv3(W3, conv1(W1, x) + b1) folds exactly into
+    conv(x, W1 @ W3) + T + b3, where T is the position-dependent bias field
+    that accounts for the zero padding (border taps never see b1).  The
+    weight contraction is O(9 C^2 g) -- no H*W factor -- while the fold
+    removes the 1x1's O(C^2 HW) MACs AND the materialization of the
+    C-channel intermediate, the DenseBlock's main HBM traffic.  The fused
+    form differs from the two-conv form only in float rounding; codec
+    bit-exactness is unaffected because both compress and decompress run
+    the same executable (models/exact.py contract).
+    """
 
     growth: int
     act: str = "ReLU"
     dtype: str = "float32"
+    fuse: bool = True
 
     @nn.compact
     def __call__(self, x):
         dt = jnp.dtype(self.dtype)
-        h = nn.Conv(x.shape[-1], (1, 1), dtype=dt, name="conv1")(x)
-        h = nn.Conv(self.growth, (3, 3), padding="SAME", dtype=dt,
-                    name="conv3")(h)
-        h = activation(self.act)(h)
+        if not self.fuse:
+            h = nn.Conv(x.shape[-1], (1, 1), dtype=dt, name="conv1")(x)
+            h = nn.Conv(self.growth, (3, 3), padding="SAME", dtype=dt,
+                        name="conv3")(h)
+            h = activation(self.act)(h)
+            return jnp.concatenate([x, h], axis=-1)
+
+        C, g = x.shape[-1], self.growth
+        H, W = x.shape[1], x.shape[2]
+        init = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        w1 = self.param("conv1_kernel", init, (1, 1, C, C), jnp.float32)
+        b1 = self.param("conv1_bias", zeros, (C,), jnp.float32)
+        w3 = self.param("conv3_kernel", init, (3, 3, C, g), jnp.float32)
+        b3 = self.param("conv3_bias", zeros, (g,), jnp.float32)
+        # weight-space composition (f32 for precision; tiny vs the conv)
+        w_eff = jnp.einsum("ic,klcg->klig", w1[0, 0], w3).astype(dt)
+        # boundary bias field: T[i,j,g] = sum over the taps (k,l) whose
+        # input position is in-bounds of (W3[k,l] . b1) -- separable into
+        # row/col validity masks, two small matmuls, no HW*C work
+        A = jnp.einsum("klcg,c->klg", w3, b1)
+        ri = jnp.arange(H)[None, :] + jnp.arange(3)[:, None] - 1
+        mk = ((ri >= 0) & (ri < H)).astype(jnp.float32)  # [3, H]
+        cj = jnp.arange(W)[None, :] + jnp.arange(3)[:, None] - 1
+        ml = ((cj >= 0) & (cj < W)).astype(jnp.float32)  # [3, W]
+        T = jnp.einsum("ki,lj,klg->ijg", mk, ml, A) + b3
+        y = lax.conv_general_dilated(
+            x.astype(dt), w_eff, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        h = activation(self.act)(y + T.astype(dt))
         return jnp.concatenate([x, h], axis=-1)
 
 
@@ -74,7 +116,7 @@ class DenseBlock(nn.Module):
         for i in range(d):
             growth = (i + 1) * g // d - i * g // d
             x = DenseLayer(growth, self.cfg.act, self.cfg.dtype,
-                           name=f"layer{i}")(x)
+                           self.cfg.fuse_1x1, name=f"layer{i}")(x)
         out = nn.Conv(
             self.out_features,
             (1, 1),

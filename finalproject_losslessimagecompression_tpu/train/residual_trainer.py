@@ -122,12 +122,22 @@ class ResidualTrainer:
         # (the reference's test hands the decoder the encode-side
         # reconstruction, trainer.py:304-327)
         self.res_codec = None
+        self.sharded_res_codec = None
         if self.cfg.conditional and not nouse_vqvae:
             from ..models.residual_codec import ResidualCodec
 
             self.res_codec = ResidualCodec(
                 self.vqvae, self.vq_params, self.codec, self.input_size
             )
+            if self.mesh is not None:
+                # mesh serving: chip-local residual coding (each device's
+                # containers byte-identical to a single-chip compress of
+                # its image shard; parallel/full_codecs.py)
+                from ..parallel.full_codecs import ShardedResidualCodec
+
+                self.sharded_res_codec = ShardedResidualCodec(
+                    self.res_codec, self.mesh
+                )
         self.rng_key = jax.random.PRNGKey(seed + 2)
 
     # ------------------------------------------------------------------
@@ -261,7 +271,26 @@ class ResidualTrainer:
                 last = {"data": data, "rec_img": gen_img}
             if self.test_coding:
                 try:
-                    if self.res_codec is not None:
+                    sharded = self.sharded_res_codec
+                    if (
+                        sharded is not None
+                        and data.shape[0] % sharded.D == 0
+                    ):
+                        # mesh serving path: every device codes its own
+                        # image shard chip-locally
+                        idx_blobs, blobs, info = sharded.compress(
+                            self.params, data
+                        )
+                        dec = sharded.decompress(
+                            self.params, idx_blobs, blobs, info
+                        )
+                        errors += int(
+                            np.sum(np.asarray(dec) != np.asarray(data))
+                        )
+                        real_bpds.append(
+                            sharded.real_bpd(idx_blobs, blobs, info)
+                        )
+                    elif self.res_codec is not None:
                         # full pipeline: VQ indices travel in the bitstream
                         idx_blob, blobs, info = self.res_codec.compress(
                             self.params, data

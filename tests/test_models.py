@@ -410,3 +410,72 @@ class TestDecompressFetch:
         one = codec.decompress(params, blobs, info, fetch=True)
         assert isinstance(one, np.ndarray)
         assert np.array_equal(one, np.asarray(xs[0]))
+
+
+class TestDenseLayerFusion:
+    """The fused 1x1->3x3 DenseLayer computes the SAME function as the
+    literal two-conv composition (reference: nnlayer.py:44-50), including
+    the zero-padding boundary where the 1x1's bias never reaches border
+    taps uniformly."""
+
+    def test_fused_matches_two_conv_composition(self, rng):
+        from finalproject_losslessimagecompression_tpu.models.layers import (
+            DenseLayer,
+        )
+
+        C, g, H, W = 5, 7, 6, 9  # odd sizes exercise every border class
+        x = jnp.asarray(rng.normal(size=(2, H, W, C)).astype(np.float32))
+        key = jax.random.PRNGKey(3)
+        fused = DenseLayer(g, "LeakyReLU", fuse=True)
+        pf = fused.init(key, x)
+        # nonzero biases so the boundary field is actually exercised
+        pf = jax.tree_util.tree_map(
+            lambda l: l + 0.1 * jnp.arange(l.size, dtype=l.dtype).reshape(
+                l.shape
+            ) % 1.0,
+            pf,
+        )
+        lp = pf["params"]
+        pu = {
+            "params": {
+                "conv1": {
+                    "kernel": lp["conv1_kernel"], "bias": lp["conv1_bias"]
+                },
+                "conv3": {
+                    "kernel": lp["conv3_kernel"], "bias": lp["conv3_bias"]
+                },
+            }
+        }
+        unfused = DenseLayer(g, "LeakyReLU", fuse=False)
+        yf = fused.apply(pf, x)
+        yu = unfused.apply(pu, x)
+        np.testing.assert_allclose(
+            np.asarray(yf), np.asarray(yu), rtol=1e-5, atol=1e-5
+        )
+
+    def test_block_flop_reduction(self):
+        """The fused block's compiled cost drops vs the literal form."""
+        from finalproject_losslessimagecompression_tpu.models.config import (
+            DenseBlockCfg,
+        )
+        from finalproject_losslessimagecompression_tpu.models.layers import (
+            DenseBlock,
+        )
+        from finalproject_losslessimagecompression_tpu.utils.profiling import (
+            compiled_flops,
+        )
+
+        # flagship-shaped: wide channels, small per-layer growth -- the
+        # regime where the 1x1's C^2 term dominates (fusion wins when
+        # 9 * growth_per_layer << B*H*W and C >~ 9 * growth_per_layer)
+        x = jnp.zeros((8, 16, 16, 256), jnp.float32)
+        flops = {}
+        for fuse in (True, False):
+            cfg = DenseBlockCfg(growth_channel=64, depth=4, fuse_1x1=fuse)
+            m = DenseBlock(32, cfg)
+            p = m.init(jax.random.PRNGKey(0), x)
+            flops[fuse] = compiled_flops(
+                jax.jit(lambda p, x: m.apply(p, x)), p, x
+            )
+        if flops[True] and flops[False]:
+            assert flops[True] < 0.8 * flops[False], flops

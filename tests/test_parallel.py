@@ -255,3 +255,125 @@ class TestShardedFlowCodec:
             params, blobs[d * ns : (d + 1) * ns], {"batch": 1}
         )
         assert np.array_equal(np.asarray(rec), np.asarray(x[d : d + 1]))
+
+
+class TestShardedFullCodecs:
+    """Mesh serving for the composite pipelines (VERDICT r2 item 4): each
+    device's output is BYTE-identical to a plain ResidualCodec /
+    TwoLevelCodec compress of its image shard, and the mesh decompress is
+    bit-exact (reference flagship scope: trainer.py:550-731)."""
+
+    def _residual_setup(self, rng):
+        from finalproject_losslessimagecompression_tpu.models import (
+            FlowCodec,
+            ResidualCodec,
+        )
+        from finalproject_losslessimagecompression_tpu.models.vqvae import (
+            VQVAE,
+        )
+
+        vq = VQVAE(channel=3, embed_num=16, embed_dim=8,
+                   hidden_dims=(8, 16), block_num=1)
+        vq_params = vq.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3))
+        )
+        cfg = FlowCfg(
+            H=8, W=8, C=3, nflows=2, nsplit=2,
+            couple=CouplingCfg(0.75, DenseBlockCfg(8, 2, "LeakyReLU")),
+            prior_nn=DenseBlockCfg(8, 2, "LeakyReLU"),
+            conditional=True,
+        )
+        flow = IDFlow(cfg)
+        px = jnp.zeros((1, 8, 8, 3), jnp.float32)
+        params = flow.init(jax.random.PRNGKey(2), px, px)
+        codec = ResidualCodec(
+            vq, vq_params, FlowCodec(flow, 64, granularity="fused"),
+            (16, 16),
+        )
+        x = jnp.asarray(
+            np.round(rng.uniform(0, 1, (8, 16, 16, 3)) * 256)
+            .astype(np.float32) / 256.0
+        )
+        return codec, params, x
+
+    def test_residual_per_device_byte_identical(self, rng):
+        from finalproject_losslessimagecompression_tpu.parallel.full_codecs import (
+            ShardedResidualCodec,
+        )
+
+        codec, params, x = self._residual_setup(rng)
+        D = 8
+        sharded = ShardedResidualCodec(codec, make_mesh())
+        idx_blobs, blobs, info = sharded.compress(params, x)
+        assert len(idx_blobs) == D
+        nsplit = codec.codec.cfg.nsplit
+        npatch_dev = len(blobs) // D // nsplit * nsplit  # containers/device
+        local = x.shape[0] // D
+        for d in range(D):
+            shard = x[d * local : (d + 1) * local]
+            solo_idx, solo_blobs, _ = codec.compress(params, shard)
+            assert idx_blobs[d] == solo_idx, d
+            assert blobs[d * nsplit : (d + 1) * nsplit] == solo_blobs, d
+        rec = sharded.decompress(params, idx_blobs, blobs, info)
+        assert np.array_equal(np.asarray(rec), np.asarray(x))
+        assert 0 < sharded.real_bpd(idx_blobs, blobs, info) < 64
+
+    def test_residual_shard_decodable_alone(self, rng):
+        from finalproject_losslessimagecompression_tpu.parallel.full_codecs import (
+            ShardedResidualCodec,
+        )
+
+        codec, params, x = self._residual_setup(rng)
+        sharded = ShardedResidualCodec(codec, make_mesh())
+        idx_blobs, blobs, info = sharded.compress(params, x)
+        nsplit = codec.codec.cfg.nsplit
+        d = 5
+        rec = codec.decompress(
+            params, idx_blobs[d],
+            blobs[d * nsplit : (d + 1) * nsplit],
+            {"batch": 4, "images": 1},
+        )
+        assert np.array_equal(np.asarray(rec), np.asarray(x[d : d + 1]))
+
+    def test_twolevel_per_device_byte_identical(self, rng):
+        from finalproject_losslessimagecompression_tpu.models.config import (
+            FlowCfg as FC,
+        )
+        from finalproject_losslessimagecompression_tpu.models.twolevel import (
+            TwoLevelCfg,
+            TwoLevelFlow,
+        )
+        from finalproject_losslessimagecompression_tpu.models.twolevel_codec import (
+            TwoLevelCodec,
+        )
+        from finalproject_losslessimagecompression_tpu.ops.rounding import (
+            round_to_grid,
+        )
+        from finalproject_losslessimagecompression_tpu.parallel.full_codecs import (
+            ShardedTwoLevelCodec,
+        )
+
+        def fcfg(H, W):
+            return FC(
+                H=H, W=W, C=3, nflows=2, nsplit=1, extend_scale=2,
+                couple=CouplingCfg(0.75, DenseBlockCfg(8, 2, "LeakyReLU")),
+                prior_nn=DenseBlockCfg(8, 2, "LeakyReLU"),
+            )
+
+        cfg = TwoLevelCfg(
+            H=15, W=15, C=3, pad=(1, 1), rough=fcfg(4, 4), fine=fcfg(8, 8)
+        )
+        model = TwoLevelFlow(cfg)
+        D = 8
+        x = round_to_grid(
+            jnp.asarray(rng.uniform(0, 1, (D, 15, 15, 3)), jnp.float32), 8
+        )
+        params = model.init(jax.random.PRNGKey(0), x)
+        codec = TwoLevelCodec(model, num_streams=32, granularity="fused")
+        sharded = ShardedTwoLevelCodec(codec, make_mesh())
+        blobs, info = sharded.compress(params, x)
+        for d in range(D):
+            solo_blobs, _ = codec.compress(params, x[d : d + 1])
+            assert sharded.device_slice(blobs, d) == solo_blobs, d
+        rec = sharded.decompress(params, blobs, info)
+        assert np.array_equal(np.asarray(rec), np.asarray(x))

@@ -393,6 +393,42 @@ class TestShardedPipelines:
         assert ev["coding_errors"] == 0
         assert ev["rec_error"] < 1e-4
 
+    def test_residual_use_mesh_sharded_serving(self, tmp_path, vqvae_ckpt):
+        """Conditional ResidualTrainer under a mesh serves its coding test
+        through ShardedResidualCodec (chip-local per-shard containers)
+        instead of funnelling the batch through one device."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from finalproject_losslessimagecompression_tpu.train import (
+            ResidualTrainer,
+        )
+
+        t = ResidualTrainer(
+            flows=small_flow_dict(8, 8, name="ConditionalFlows"),
+            vqvae={**small_vqvae_dict(), "checkpoint": vqvae_ckpt},
+            input_size=[16, 16],
+            train_dataloader=synth_loader_cfg((16, 16, 3), batch=8,
+                                              train=True),
+            test_dataloader=synth_loader_cfg((16, 16, 3), batch=8),
+            patch_batch_size=0,
+            optimizer=dict(name="Adamax", lr=1e-3),
+            scheduler=dict(name="Constant"),
+            max_step=1,
+            step_per_epoch=10,
+            evaluate_interval=1000,
+            save_interval=1000,
+            save_path=str(tmp_path / "res.ckpt"),
+            writer_path=str(tmp_path / "logs"),
+            use_mesh=True,
+            test_coding=True,
+            max_eval_batches=1,
+        )
+        assert t.mesh is not None
+        assert t.sharded_res_codec is not None
+        ev = t.evaluate()
+        assert ev["coding_errors"] == 0
+        assert np.isfinite(ev["real_bpd"]) and 0 < ev["real_bpd"] < 64
+
     def test_vqvae_use_mesh(self, tmp_path):
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
