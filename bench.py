@@ -304,6 +304,63 @@ def bench_codec_only(n_symbols: int, iters: int):
     return host_rate, rates, (v, means, scales)
 
 
+def bench_codec_device_large(n_symbols: int, iters: int = 3):
+    """Device-resident codec throughput at LARGE message size (the word
+    buffer exceeds the Pallas decode VMEM budget, so the kernel path runs
+    the HBM-windowed form) -- the crossover check vs the scan path that
+    VERDICT r2 item 5 asked for.  Returns {backend: sym/s} plus whether
+    the windowed form was actually exercised."""
+    import jax
+    import jax.numpy as jnp
+
+    from finalproject_losslessimagecompression_tpu.codec import (
+        NBINS,
+        lower_bin,
+    )
+    from finalproject_losslessimagecompression_tpu.codec import (
+        interleaved as IL,
+    )
+
+    rng = np.random.default_rng(4)
+    means = rng.uniform(-2, 2, n_symbols).astype(np.float32)
+    scales = np.exp(rng.uniform(-4, 0, n_symbols)).astype(np.float32)
+    raw = means + scales * rng.logistic(0, 1, n_symbols).astype(np.float32)
+    v = np.round(raw * 256).astype(np.int32)
+    low = lower_bin(means)
+    v = np.clip(v, low, low + NBINS - 1)
+    S = 8192
+    k = IL._plan_steps(n_symbols, S)
+    vd, md, sd = jnp.asarray(v), jnp.asarray(means), jnp.asarray(scales)
+    jax.block_until_ready((vd, md, sd))
+    rates = {}
+    backends = {"scan": False}
+    windowed = None
+    if IL._pallas_ok(S, k):
+        backends["pallas"] = True
+        from finalproject_losslessimagecompression_tpu.codec.pallas_rans import (
+            _decode_resident_ok,
+        )
+
+        windowed = not _decode_resident_ok(S, k)
+    for name, up in backends.items():
+        be, tot, bh, bl, *_ = IL._encode_scan(vd, md, sd, S, k, up, None)
+        vals, h2, l2, _ = IL._decode_scan(
+            be, tot.astype(jnp.int32), bh, bl, md, sd, S, k, None, None, up
+        )
+        jax.block_until_ready(vals)
+        assert np.array_equal(np.asarray(vals), v), name
+        t0 = time.time()
+        for _ in range(iters):
+            be, tot, bh, bl, *_ = IL._encode_scan(vd, md, sd, S, k, up, None)
+            vals, h2, l2, _ = IL._decode_scan(
+                be, tot.astype(jnp.int32), bh, bl, md, sd, S, k, None, None,
+                up,
+            )
+        jax.block_until_ready(vals)
+        rates[name] = n_symbols / ((time.time() - t0) / iters)
+    return rates, windowed
+
+
 def bench_native_baseline(v, means, scales, max_n: int = 300000):
     """Reference-design baseline: single-threaded C++ serial rANS
     (measured on a slice and reported per-symbol)."""
@@ -369,6 +426,10 @@ def main():
     mfu = bench_train_mfu(cfg, model, params, batch)
     n_sym = 96 * 64 * 64 * 3  # production-scale message (~1.2M symbols)
     sym_per_s, dev_rates, (v, m, s) = bench_codec_only(n_sym, args.iters)
+    # large message: word buffer beyond the Pallas VMEM budget -> the
+    # kernel path runs HBM-windowed; compare against the scan path there
+    n_large = 8 * 1024 * 1024
+    large_rates, large_windowed = bench_codec_device_large(n_large)
     base = bench_native_baseline(v, m, s)
     dev_best = max(dev_rates.values())
     vs_baseline = (dev_best / base) if base else None
@@ -402,6 +463,13 @@ def main():
             round(dev_rates["pallas"], 1) if "pallas" in dev_rates else None
         ),
         "native_baseline_sym_per_s": round(base, 1) if base else None,
+        "codec_large_n_sym": n_large,
+        "codec_large_scan_sym_per_s": round(large_rates["scan"], 1),
+        "codec_large_pallas_sym_per_s": (
+            round(large_rates["pallas"], 1)
+            if "pallas" in large_rates else None
+        ),
+        "codec_large_pallas_windowed": large_windowed,
         "phases": phases,
         "batch": batch,
         "queue": args.queue,

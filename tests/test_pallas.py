@@ -175,3 +175,33 @@ def test_default_on_public_api():
     assert _pallas_ok(enc.num_streams, _plan_steps(n, enc.num_streams))
     dec, hi, lo = interleaved_decode(enc, means, scales)
     assert np.array_equal(np.asarray(dec), v)
+
+
+def test_windowed_decode_large_message():
+    """Messages whose word buffer exceeds the VMEM budget decode through
+    the HBM-windowed kernel (VERDICT r2 item 5: the resident form capped
+    Pallas decode at ~2.5M words; beyond it the decoder used to silently
+    fall back to the scan path)."""
+    from finalproject_losslessimagecompression_tpu.codec.interleaved import (
+        _decode_scan,
+        _encode_scan,
+        _plan_steps,
+    )
+    from finalproject_losslessimagecompression_tpu.codec.pallas_rans import (
+        _decode_resident_ok,
+        pallas_supported,
+    )
+
+    n = 4 * 1024 * 1024
+    v, means, scales = _symbols(n, seed=13)
+    S = 8192
+    k = _plan_steps(n, S)
+    assert pallas_supported(S, k)
+    assert not _decode_resident_ok(S, k)  # actually exercises the window
+    buf, tot, hi, lo, *_ = _encode_scan(v, means, scales, S, k, True, None)
+    vals, h2, l2, _ = _decode_scan(
+        buf, tot.astype(jnp.int32), hi, lo, means, scales, S, k, None, None,
+        True,
+    )
+    assert np.array_equal(np.asarray(vals), v)
+    assert np.all(np.asarray(h2) == 1) and np.all(np.asarray(l2) == 0)
