@@ -370,6 +370,9 @@ def decompress_file(pipe, in_path, out_path):
 
 
 def main(argv=None):
+    from ..utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # the fused codec programs compile once, ever
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["compress", "decompress"])
     ap.add_argument("--config", required=True)

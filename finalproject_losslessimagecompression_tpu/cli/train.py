@@ -54,6 +54,9 @@ def main(argv=None):
         "draws a disjoint slice of every epoch.",
     )
     args = ap.parse_args(argv)
+    from ..utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # training restarts skip remote recompiles
     if args.distributed or os.environ.get("LIC_DISTRIBUTED", "") == "1":
         from ..parallel.mesh import init_distributed
 

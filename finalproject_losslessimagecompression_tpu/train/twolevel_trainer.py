@@ -121,10 +121,19 @@ class TwoLevelTrainer:
         self.sample_key = jax.random.PRNGKey(seed + 1)
         self.test_coding = test_coding
         self.codec = None
+        self.sharded_codec = None
         if test_coding:
             from ..models.twolevel_codec import TwoLevelCodec
 
             self.codec = TwoLevelCodec(self.model, num_streams=num_streams)
+            if self.mesh is not None:
+                # mesh serving: each device codes its image shard
+                # chip-locally (parallel/full_codecs.py)
+                from ..parallel.full_codecs import ShardedTwoLevelCodec
+
+                self.sharded_codec = ShardedTwoLevelCodec(
+                    self.codec, self.mesh
+                )
 
     def _state(self):
         return {"params": self.params, "opt_state": self.opt_state,
@@ -152,13 +161,19 @@ class TwoLevelTrainer:
             _, aux = self.eval_step(self.params, batch)
             out.append(self._bpds(aux))
             if self.codec is not None:
+                sharded = self.sharded_codec
+                use_sharded = (
+                    sharded is not None
+                    and batch.shape[0] % sharded.D == 0
+                )
+                codec = sharded if use_sharded else self.codec
                 try:
-                    blobs, info = self.codec.compress(self.params, batch)
-                    rec = self.codec.decompress(self.params, blobs, info)
+                    blobs, info = codec.compress(self.params, batch)
+                    rec = codec.decompress(self.params, blobs, info)
                     errors += int(
                         np.sum(np.asarray(rec) != np.asarray(batch))
                     )
-                    real_bpds.append(self.codec.real_bpd(blobs, info))
+                    real_bpds.append(codec.real_bpd(blobs, info))
                 except ValueError:
                     errors += int(np.asarray(batch).size)
             n += 1

@@ -108,3 +108,30 @@ def device_trace(logdir: str) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_compile_cache(path: str = None) -> None:
+    """Persistent XLA compilation cache (idempotent).  Remote-compile
+    environments pay minutes for the big fused programs; the cache makes
+    every run after the first pay only dispatch.  Default location:
+    <repo>/.jax_cache, overridable via JAX_COMPILATION_CACHE_DIR."""
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))),
+                ".jax_cache",
+            ),
+        )
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    except Exception:
+        pass

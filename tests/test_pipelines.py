@@ -485,11 +485,18 @@ class TestShardedPipelines:
             writer_path=str(tmp_path / "logs"),
             max_eval_batches=1,
             use_mesh=True,
+            test_coding=True,
+            num_streams=32,
         )
         assert t.mesh is not None
+        assert t.sharded_codec is not None  # mesh serving path active
         t.train()
         bpd, _, _ = t.evaluate()
         assert np.isfinite(bpd)
+        batch = jnp.asarray(next(iter(t.testloader)))
+        blobs, info = t.sharded_codec.compress(t.params, batch)
+        rec = t.sharded_codec.decompress(t.params, blobs, info)
+        assert np.array_equal(np.asarray(rec), np.asarray(batch))
 
     def test_conditional_mesh_step_passes_cond(self):
         """make_train_step(conditional=True, mesh=...) must NOT drop the
