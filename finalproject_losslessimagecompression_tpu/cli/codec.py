@@ -155,6 +155,19 @@ def _restore(params, ckpt_path):
     return serialization.from_state_dict(params, raw["params"])
 
 
+def _init_abstract(model, *example_args):
+    """Parameter STRUCTURE without any compute: jax.eval_shape of
+    model.init.  A real (eager) flax init dispatches hundreds of ops; on
+    remote-tunnel runtimes each costs a host round trip, which made model
+    loading take minutes (measured ~335s for the synthetic64 model, r3).
+    The checkpoint overwrites every value anyway -- only the tree matters."""
+    import jax
+
+    return jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), *example_args
+    )
+
+
 def _load_model(config_path: str, ckpt_path: str, num_streams: int,
                 vq_ckpt: str = None):
     import jax
@@ -181,8 +194,7 @@ def _load_model(config_path: str, ckpt_path: str, num_streams: int,
             )
         model = IDFlow(cfg)
         px = jnp.zeros((1, cfg.H, cfg.W, cfg.C), jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), px, px)
-        params = _restore(params, ckpt_path)
+        params = _restore(_init_abstract(model, px, px), ckpt_path)
         vq_cfg = dict(train["vqvae"])
         vq_ckpt = vq_ckpt or vq_cfg.get("checkpoint")
         if not vq_ckpt:
@@ -209,8 +221,7 @@ def _load_model(config_path: str, ckpt_path: str, num_streams: int,
         tcfg = TwoLevelCfg.from_ref(model_cfg)
         model = TwoLevelFlow(tcfg)
         init_x = jnp.zeros((1, tcfg.H, tcfg.W, tcfg.C), jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), init_x)
-        params = _restore(params, ckpt_path)
+        params = _restore(_init_abstract(model, init_x), ckpt_path)
         fp = _fingerprint(model_cfg, ckpt_path)
         return _TwoLevelPipeline(
             TwoLevelCodec(model, num_streams=num_streams), params, fp
@@ -219,8 +230,7 @@ def _load_model(config_path: str, ckpt_path: str, num_streams: int,
     cfg = FlowCfg.from_ref(model_cfg)
     model = IDFlow(cfg)
     init_x = jnp.zeros((1, cfg.H, cfg.W, cfg.C), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), init_x)
-    params = _restore(params, ckpt_path)
+    params = _restore(_init_abstract(model, init_x), ckpt_path)
     fp = _fingerprint(model_cfg, ckpt_path)
     return _PlainPipeline(
         cfg, FlowCodec(model, num_streams=num_streams), params, fp

@@ -205,3 +205,45 @@ def test_windowed_decode_large_message():
     )
     assert np.array_equal(np.asarray(vals), v)
     assert np.all(np.asarray(h2) == 1) and np.all(np.asarray(l2) == 0)
+
+
+def test_windowed_decode_seeded():
+    """Bits-back seeds survive the windowed form: lo returns to the seeds
+    (the FlowCodec level-chaining contract) when the word buffer is
+    decoded through the HBM-windowed kernel."""
+    from finalproject_losslessimagecompression_tpu.codec.interleaved import (
+        _layout,
+        _encode_scan,
+        _plan_steps,
+        PAD_MEAN,
+        PAD_SCALE,
+    )
+    from finalproject_losslessimagecompression_tpu.codec.cdf import GRID
+    from finalproject_losslessimagecompression_tpu.codec import NBINS
+    from finalproject_losslessimagecompression_tpu.codec.pallas_rans import (
+        pallas_decode_core,
+    )
+
+    n, S = 262144, 512
+    v, means, scales = _symbols(n, seed=17)
+    k = _plan_steps(n, S)
+    seeds = (np.arange(S, dtype=np.uint64) * np.uint64(0x9E3779B9)).astype(
+        np.uint32
+    )
+    buf, tot, hi, lo, *_ = _encode_scan(v, means, scales, S, k, True, seeds)
+
+    @jax.jit
+    def dec(buf, nw, hi, lo, m, s):
+        mm = _layout(jnp.asarray(m, jnp.float32), n, S, k, PAD_MEAN)
+        ss = _layout(jnp.asarray(s, jnp.float32), n, S, k, PAD_SCALE)
+        lower = jnp.round(mm * jnp.float32(GRID)).astype(jnp.int32) - (
+            jnp.int32(NBINS // 2)
+        )
+        return pallas_decode_core(
+            buf, nw, hi, lo, mm, ss, lower, S, k, windowed=True
+        )
+
+    vals, h2, l2 = dec(buf, tot.astype(jnp.int32), hi, lo, means, scales)
+    assert np.array_equal(np.asarray(vals).reshape(-1)[:n], v)
+    assert np.all(np.asarray(h2) == 1)
+    assert np.array_equal(np.asarray(l2).reshape(-1), seeds)
