@@ -20,6 +20,38 @@ def load_config(path: str) -> dict:
         return yaml.safe_load(f)
 
 
+def apply_overrides(config: dict, sets) -> dict:
+    """Apply `--set dotted.path=value` overrides in place.
+
+    Values parse as YAML scalars (`5000` -> int, `true` -> bool, quoted
+    strings stay strings).  Intermediate dicts are created as needed, so a
+    path can introduce a new key; a path through a non-dict raises."""
+    for item in sets or ():
+        key, sep, raw = item.partition("=")
+        if not sep:
+            raise SystemExit(f"--set expects dotted.path=value, got {item!r}")
+        node = config
+        parts = key.split(".")
+        for p in parts[:-1]:
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                raise SystemExit(
+                    f"--set {key}: {p!r} is a {type(nxt).__name__}, "
+                    "not a mapping"
+                )
+            node = nxt
+        value = yaml.safe_load(raw)
+        if isinstance(value, str):
+            # YAML 1.1 only floats `1.0e-4`, not `1e-4`; accept the
+            # common scientific form too
+            try:
+                value = float(value)
+            except ValueError:
+                pass
+        node[parts[-1]] = value
+    return config
+
+
 def build_trainer(config: dict):
     train_cfg = dict(config["train"])
     name = train_cfg.pop("trainer", "Trainer")
@@ -53,6 +85,12 @@ def main(argv=None):
         "vars. Pair with `shard: true` on the dataloaders so each host "
         "draws a disjoint slice of every epoch.",
     )
+    ap.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="override a config entry by dotted path, e.g. "
+        "--set train.max_step=5000 --set train.save_path=./logs/x.ckpt; "
+        "values parse as YAML scalars. Repeatable.",
+    )
     args = ap.parse_args(argv)
     from ..utils.profiling import enable_compile_cache
 
@@ -68,7 +106,7 @@ def main(argv=None):
             f"{jax.process_count()}, {len(jax.local_devices())} local / "
             f"{len(jax.devices())} global devices"
         )
-    config = load_config(args.config)
+    config = apply_overrides(load_config(args.config), args.set)
     print(yaml.dump(config))
     t = build_trainer(config)
     t.train()

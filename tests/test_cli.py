@@ -31,6 +31,32 @@ class TestTrainCLI:
         ev = trainer.evaluate()
         assert ev["coding_errors"] == 0
 
+    def test_set_overrides(self):
+        """--set dotted.path=value overrides parse as YAML scalars, create
+        intermediate mappings, and reject paths through non-mappings."""
+        import pytest as _pytest
+
+        from finalproject_losslessimagecompression_tpu.cli.train import (
+            apply_overrides,
+        )
+
+        cfg = {"train": {"max_step": 30000, "optimizer": {"lr": 0.001}}}
+        apply_overrides(cfg, [
+            "train.max_step=5000",
+            "train.optimizer.lr=1e-4",
+            "train.save_path=./logs/x.ckpt",
+            "train.new.nested=true",
+        ])
+        t = cfg["train"]
+        assert t["max_step"] == 5000 and isinstance(t["max_step"], int)
+        assert t["optimizer"]["lr"] == 1e-4
+        assert t["save_path"] == "./logs/x.ckpt"
+        assert t["new"]["nested"] is True
+        with _pytest.raises(SystemExit):
+            apply_overrides(cfg, ["train.max_step.sub=1"])
+        with _pytest.raises(SystemExit):
+            apply_overrides(cfg, ["no_equals_sign"])
+
     def test_generated_configs_parse(self):
         """Every generated config must at least build its model config."""
         import glob
