@@ -35,6 +35,15 @@ The header records the original size, nbits, pipeline kind, per-segment
 blob lengths, and a model fingerprint (config hash + checkpoint bytes) so
 mismatched checkpoints or pipeline kinds fail loudly instead of decoding
 garbage.
+
+Every container carries a per-file `mode`: `flow` (model-coded) or a
+stored escape (`stored-png`/`stored-zlib`) written when the classical
+encoding is smaller -- e.g. sub-tile images whose ceil-to-tile replication
+padding costs more than the whole PNG.  The mode choice bounds worst-case
+expansion at the header size, the same discipline as PNG's per-row filter
+choice or WebP's per-image mode choice; stored containers are
+model-independent and skip the fingerprint check.  `--no-stored-fallback`
+forces flow mode.
 """
 
 from __future__ import annotations
@@ -262,7 +271,7 @@ def _write_image(path: str, arr: np.ndarray) -> None:
 
 
 def _to_tiles(pipe, in_path):
-    """image file -> (tile batch [N,th,tw,C] float grid, orig shape)."""
+    """image file -> (tile batch [N,th,tw,C] float grid, orig shape, uint8)."""
     import jax.numpy as jnp
 
     from ..data.loader import _pad_replicate
@@ -277,52 +286,111 @@ def _to_tiles(pipe, in_path):
     # pad up to tile multiples, then tile into a model-size batch
     x = arr.astype(np.float32) / 256.0
     x = _pad_replicate(x[None], -H % pipe.tile_h, -W % pipe.tile_w)
-    return jnp.asarray(patch_split(x, pipe.tile_h, pipe.tile_w)), (H, W, C)
+    tiles = jnp.asarray(patch_split(x, pipe.tile_h, pipe.tile_w))
+    return tiles, (H, W, C), arr
 
 
-def _write_lic(pipe, out_path, segments, info, orig, in_path):
-    header = json.dumps({
+def _stored_blob(arr: np.ndarray):
+    """Smallest self-contained classical encoding of a uint8 HWC array:
+    PNG (predictive filters) when PIL supports the channel count, raw
+    zlib otherwise.  This is the container's worst-case escape: images the
+    flow codes badly (sub-tile sizes paying ceil-to-tile padding, content
+    far outside the training distribution) are never more than the header
+    larger than a classical codec -- the mode flag per file is the same
+    discipline PNG (per-row filter choice) and WebP (per-image mode
+    choice) use."""
+    import io
+    import zlib
+
+    if arr.shape[-1] in (1, 3):
+        from PIL import Image
+
+        b = io.BytesIO()
+        Image.fromarray(
+            arr.squeeze(-1) if arr.shape[-1] == 1 else arr
+        ).save(b, format="PNG", optimize=True)
+        return "stored-png", b.getvalue()
+    return "stored-zlib", zlib.compress(arr.tobytes(), 9)
+
+
+def _decode_stored(mode: str, blob: bytes, orig) -> np.ndarray:
+    H, W, C = orig
+    if mode == "stored-png":
+        import io
+
+        from PIL import Image
+
+        a = np.asarray(Image.open(io.BytesIO(blob)), np.uint8)
+        if a.ndim == 2:
+            a = a[..., None]
+        return a.reshape(H, W, C)
+    import zlib
+
+    return np.frombuffer(zlib.decompress(blob), np.uint8).reshape(H, W, C)
+
+
+def _container_bytes(header: dict, segments) -> bytes:
+    h = json.dumps(header).encode()
+    return b"".join(
+        [_MAGIC, struct.pack("<I", len(h)), h, *segments]
+    )
+
+
+def _write_lic(pipe, out_path, segments, info, orig, in_path, arr=None):
+    """Write the smaller of {flow container, stored escape} (arr=None
+    disables the escape and always writes the flow container)."""
+    flow = _container_bytes({
         "orig": list(orig),
         "nbits": pipe.nbits,
         "pipeline": pipe.name,
+        "mode": "flow",
         "blob_lens": [len(b) for b in segments],
         "fingerprint": pipe.fingerprint,
         "info": {k: v for k, v in info.items()
                  if isinstance(v, (int, float, str, bool))},
-    }).encode()
+    }, segments)
+    data, mode = flow, "flow"
+    if arr is not None:
+        smode, blob = _stored_blob(arr)
+        stored = _container_bytes({
+            "orig": list(orig),
+            "pipeline": pipe.name,
+            "mode": smode,
+            "blob_lens": [len(blob)],
+        }, [blob])
+        if len(stored) < len(flow):
+            data, mode = stored, smode
     with open(out_path, "wb") as f:
-        f.write(_MAGIC)
-        f.write(struct.pack("<I", len(header)))
-        f.write(header)
-        for b in segments:
-            f.write(b)
-    coded = os.path.getsize(out_path)
+        f.write(data)
     H, W, C = orig
-    print(f"{in_path} -> {out_path}: {coded} bytes, "
-          f"{8.0 * coded / (H * W * C):.4f} bpd")
+    print(f"{in_path} -> {out_path}: {len(data)} bytes, "
+          f"{8.0 * len(data) / (H * W * C):.4f} bpd [{mode}]")
 
 
-def compress_files(pipe, in_paths, out_paths):
+def compress_files(pipe, in_paths, out_paths, stored_fallback=True):
     """Pipelined: ALL files are dispatched sync-free and packed with one
     host transfer (FlowCodec.compress_many serving discipline)."""
-    tiles, origs = [], []
+    tiles, origs, arrs = [], [], []
     for p in in_paths:
-        x, orig = _to_tiles(pipe, p)
+        x, orig, arr = _to_tiles(pipe, p)
         tiles.append(x)
         origs.append(orig)
+        arrs.append(arr if stored_fallback else None)
     packed = pipe.compress_many(tiles)
-    for in_path, out_path, (segments, info), orig in zip(
-        in_paths, out_paths, packed, origs
+    for in_path, out_path, (segments, info), orig, arr in zip(
+        in_paths, out_paths, packed, origs, arrs
     ):
-        _write_lic(pipe, out_path, segments, info, orig, in_path)
+        _write_lic(pipe, out_path, segments, info, orig, in_path, arr)
 
 
-def compress_file(pipe, in_path, out_path):
-    compress_files(pipe, [in_path], [out_path])
+def compress_file(pipe, in_path, out_path, stored_fallback=True):
+    compress_files(pipe, [in_path], [out_path], stored_fallback)
 
 
 def _read_lic(pipe, in_path):
-    """-> ((segments, info), orig shape), with loud validation."""
+    """-> (mode, (segments, info), orig shape), with loud validation.
+    Stored-mode containers are model-independent, so the fingerprint /
+    pipeline checks apply to flow mode only."""
     with open(in_path, "rb") as f:
         data = f.read()
     if data[:4] != _MAGIC or len(data) < 8:
@@ -332,16 +400,20 @@ def _read_lic(pipe, in_path):
         header = json.loads(data[8 : 8 + hlen])
     except Exception:
         raise SystemExit(f"{in_path}: corrupt header")
-    if header.get("fingerprint") != pipe.fingerprint:
-        raise SystemExit(
-            f"{in_path}: was written by a different model/checkpoint "
-            f"({header.get('fingerprint')} != {pipe.fingerprint})"
-        )
-    if header.get("pipeline", "plain") != pipe.name:
-        raise SystemExit(
-            f"{in_path}: {header.get('pipeline')!r} container, loaded "
-            f"config is {pipe.name!r}"
-        )
+    mode = header.get("mode", "flow")
+    if mode == "flow":
+        if header.get("fingerprint") != pipe.fingerprint:
+            raise SystemExit(
+                f"{in_path}: was written by a different model/checkpoint "
+                f"({header.get('fingerprint')} != {pipe.fingerprint})"
+            )
+        if header.get("pipeline", "plain") != pipe.name:
+            raise SystemExit(
+                f"{in_path}: {header.get('pipeline')!r} container, loaded "
+                f"config is {pipe.name!r}"
+            )
+    elif mode not in ("stored-png", "stored-zlib"):
+        raise SystemExit(f"{in_path}: unknown container mode {mode!r}")
     segments, off = [], 8 + hlen
     for n in header["blob_lens"]:
         segments.append(data[off : off + n])
@@ -350,29 +422,34 @@ def _read_lic(pipe, in_path):
         raise SystemExit(f"{in_path}: trailing/missing bytes")
     info = dict(header.get("info", {}))
     info.setdefault("batch", 1)
-    return (segments, info), header["orig"]
+    return mode, (segments, info), header["orig"]
 
 
 def decompress_files(pipe, in_paths, out_paths):
     """Pipelined: every container's decode is dispatched before the ONE
-    sync that verifies all state invariants (decompress_many)."""
+    sync that verifies all state invariants (decompress_many).  Stored-mode
+    containers decode host-side and never touch the model."""
     from ..ops.reshape import patch_merge
 
-    packed, origs = [], []
-    for p in in_paths:
-        pk, orig = _read_lic(pipe, p)
-        packed.append(pk)
-        origs.append(orig)
-    recs = pipe.decompress_many(packed)
-    for in_path, out_path, rec, (H, W, C) in zip(
-        in_paths, out_paths, recs, origs
+    parsed = [_read_lic(pipe, p) for p in in_paths]
+    flow_idx = [i for i, (m, _, _) in enumerate(parsed) if m == "flow"]
+    recs = (pipe.decompress_many([parsed[i][1] for i in flow_idx])
+            if flow_idx else [])
+    flow_rec = dict(zip(flow_idx, recs))
+    for i, (in_path, out_path, (mode, (segments, _), orig)) in enumerate(
+        zip(in_paths, out_paths, parsed)
     ):
-        full = patch_merge(
-            np.asarray(rec), H + (-H % pipe.tile_h), W + (-W % pipe.tile_w)
-        )
-        arr = np.round(full[0, :H, :W, :C] * 256.0).astype(np.uint8)
+        H, W, C = orig
+        if mode == "flow":
+            full = patch_merge(
+                np.asarray(flow_rec[i]),
+                H + (-H % pipe.tile_h), W + (-W % pipe.tile_w),
+            )
+            arr = np.round(full[0, :H, :W, :C] * 256.0).astype(np.uint8)
+        else:
+            arr = _decode_stored(mode, segments[0], orig)
         _write_image(out_path, arr)
-        print(f"{in_path} -> {out_path}: {H}x{W}x{C}")
+        print(f"{in_path} -> {out_path}: {H}x{W}x{C} [{mode}]")
 
 
 def decompress_file(pipe, in_path, out_path):
@@ -393,6 +470,9 @@ def main(argv=None):
     ap.add_argument("--vq-ckpt", default=None,
                     help="VQ-VAE checkpoint for residual configs "
                     "(default: the config's vqvae.checkpoint)")
+    ap.add_argument("--no-stored-fallback", action="store_true",
+                    help="always write flow containers, even when the "
+                    "stored escape (PNG/zlib) would be smaller")
     args = ap.parse_args(argv)
 
     pipe = _load_model(
@@ -406,7 +486,8 @@ def main(argv=None):
 
     if args.mode == "compress":
         compress_files(pipe, args.input,
-                       [_out(p, ".lic") for p in args.input])
+                       [_out(p, ".lic") for p in args.input],
+                       stored_fallback=not args.no_stored_fallback)
     else:
         decompress_files(pipe, args.input,
                          [_out(p, ".png") for p in args.input])
