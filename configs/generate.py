@@ -73,11 +73,19 @@ def opt():
     return dict(name="Adamax", lr=0.001)
 
 
-def tail(tag, max_step=1000000, spe=1000, ev=5000, sv=20000):
-    return dict(optimizer=opt(), scheduler=sched(), max_step=max_step,
-                step_per_epoch=spe, evaluate_interval=ev, save_interval=sv,
-                save_path=f"./logs/{tag}.ckpt",
-                writer_path=f"./logs/log_{tag}")
+def tail(tag, max_step=1000000, spe=1000, ev=5000, sv=20000, log_every=20):
+    # log_every: host-sync cadence for scalar logging -- every trainer
+    # reads the loss only every log_every steps so the device pipeline
+    # stays hot on high-latency runtimes (train/trainer.py discipline,
+    # now shared by Residual/TwoLevel/VQVAE trainers).  Pass None for
+    # trainers without the knob (Finetuner logs per-image bpd by design).
+    d = dict(optimizer=opt(), scheduler=sched(), max_step=max_step,
+             step_per_epoch=spe, evaluate_interval=ev, save_interval=sv,
+             save_path=f"./logs/{tag}.ckpt",
+             writer_path=f"./logs/log_{tag}")
+    if log_every is not None:
+        d["log_every"] = log_every
+    return d
 
 
 def vqvae(checkpoint=None, reinit=True, dist="BinomialDistribution"):
@@ -264,7 +272,7 @@ CONFIGS["resflows_smallpatch"] = dict(train=dict(
     train_dataloader=celeba_loader(16, True),
     test_dataloader=celeba_loader(1, False),
     scheduler=dict(name="WarmUpScheduler", warmup=10, beta=0.999),
-    optimizer=opt(), max_step=1000000, step_per_epoch=25,
+    optimizer=opt(), max_step=1000000, step_per_epoch=25, log_every=20,
     evaluate_interval=250, save_interval=1000,
     save_path="./logs/resflows_smallpatch.ckpt",
     writer_path="./logs/log_resflows_smallpatch"))
@@ -301,7 +309,7 @@ CONFIGS["config-trans-test"] = dict(train=dict(
                **flow(H=64, W=48)),
     train_dataloader=celeba_loader(16, True, pad=None, resize=(64, 48)),
     test_dataloader=celeba_loader(16, False, pad=None, resize=(64, 48)),
-    **tail("trans_test")))
+    **tail("trans_test", log_every=None)))
 
 # -- visualization (ref: vis_config1.yaml)
 CONFIGS["vis_config1"] = dict(train=dict(

@@ -5,8 +5,8 @@ reference trainer.py:304-331).
 
 Usage (after training a model, e.g. configs/synthetic64.yaml):
     python demo/run_filecodec_demo.py \
-        --config configs/synthetic64.yaml --ckpt logs/synthetic64_r03.ckpt \
-        [--out RESULTS_filecodec_r03.json]
+        --config configs/synthetic64.yaml --ckpt logs/synthetic64_r04.ckpt \
+        [--out RESULTS_filecodec_r04.json]
 
 For every demo/corpus/*.png (structured synthetic images at several sizes,
 including non-divisible dims that exercise the pad+tile paths):
@@ -62,6 +62,15 @@ def main():
     os.makedirs(licdir, exist_ok=True)
     os.makedirs(recdir, exist_ok=True)
 
+    # cold pass: includes model load + any program compiles not in the
+    # persistent cache.  warm pass: same CLI invocation again -- every
+    # program is a cache hit, so this is the steady-state number a user
+    # sees from the second run on (VERDICT r3 item 4: the cold number
+    # alone misread as the product's speed).
+    t0 = time.time()
+    cli(["compress", "--config", args.config, "--ckpt", args.ckpt,
+         "--input", *files, "--outdir", licdir])
+    t_compress_cold = time.time() - t0
     t0 = time.time()
     cli(["compress", "--config", args.config, "--ckpt", args.ckpt,
          "--input", *files, "--outdir", licdir])
@@ -70,6 +79,10 @@ def main():
         os.path.join(licdir, os.path.basename(f)[:-4] + ".lic")
         for f in files
     ]
+    t0 = time.time()
+    cli(["decompress", "--config", args.config, "--ckpt", args.ckpt,
+         "--input", *lics, "--outdir", recdir])
+    t_decompress_cold = time.time() - t0
     t0 = time.time()
     cli(["decompress", "--config", args.config, "--ckpt", args.ckpt,
          "--input", *lics, "--outdir", recdir])
@@ -124,8 +137,10 @@ def main():
         "lic_vs_webp": round(
             tot("lic_bytes") / tot("webp_lossless_bytes"), 4
         ),
-        "compress_wall_s": round(t_compress, 2),
-        "decompress_wall_s": round(t_decompress, 2),
+        "compress_wall_warm_s": round(t_compress, 2),
+        "compress_wall_cold_s": round(t_compress_cold, 2),
+        "decompress_wall_warm_s": round(t_decompress, 2),
+        "decompress_wall_cold_s": round(t_decompress_cold, 2),
         "files": rows,
     }
     with open(os.path.join(ROOT, args.out), "w") as f:

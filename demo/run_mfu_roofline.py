@@ -1,0 +1,108 @@
+"""MFU roofline, round 4: reconcile BENCH's train-step number with the
+roofline (VERDICT r3 item 2) and measure the lane-padded growth variant
+(VERDICT r3 item 9, stretch).
+
+Runs the flagship train step (reference configs/imagenet64.yaml scale) with
+bench.bench_train_mfu's repeated-window median timing, twice in the same
+process ("session A" / "session B"), plus the opt-in non-parity
+growth_multiple variants -- proving (or refuting) that the remaining MFU
+headroom is the reference model family's lane-starved growth convs, not the
+framework.
+
+Usage:  python demo/run_mfu_roofline.py [--out results/mfu_roofline_r04.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def build(growth_multiple=0, bf16=False, seed=0):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from finalproject_losslessimagecompression_tpu.models import (
+        CouplingCfg,
+        DenseBlockCfg,
+        FlowCfg,
+        IDFlow,
+    )
+
+    dt = "bfloat16" if bf16 else "float32"
+    nn = DenseBlockCfg(512, 12, "ReLU", dt, growth_multiple=growth_multiple)
+    cfg = FlowCfg(H=64, W=64, C=3, nflows=8, nsplit=3,
+                  couple=CouplingCfg(0.75, nn), prior_nn=nn)
+    model = IDFlow(cfg)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(
+        np.round(rng.uniform(0, 1, (1, 64, 64, 3)) * 256).astype(np.float32)
+        / 256.0
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+    return cfg, model, params
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/mfu_roofline_r04.json")
+    ap.add_argument("--batch", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+
+    from finalproject_losslessimagecompression_tpu.utils.profiling import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+    from bench import bench_train_mfu
+
+    rows = []
+    # two independent sessions of the PARITY flagship step: the
+    # reconciliation evidence -- both are repeated-window medians of the
+    # identical compiled program, so they must agree (~10%) unless the
+    # tunnel itself is the variable, which the window spread now exposes
+    for session in ("A", "B"):
+        cfg, model, params = build(0)
+        out = bench_train_mfu(cfg, model, params, args.batch)
+        rows.append({"variant": f"flagship_parity_session_{session}",
+                     "growth_multiple": 0, **out})
+        print(rows[-1])
+
+    # lane-padded growth (opt-in, NON-parity): per-layer growth 43 -> 128
+    # full MXU lanes.  More params/FLOPs; the question is whether the
+    # framework sustains high MFU once the model shape allows it.
+    for gm in (128,):
+        cfg, model, params = build(gm)
+        out = bench_train_mfu(cfg, model, params, args.batch)
+        rows.append({"variant": f"growth_multiple_{gm}",
+                     "growth_multiple": gm, **out})
+        print(rows[-1])
+
+    a, b = rows[0]["train_step_time_ms"], rows[1]["train_step_time_ms"]
+    out = {
+        "what": "r4 MFU roofline: repeated-window medians reconcile the "
+                "bench and roofline train-step numbers; growth_multiple "
+                "measures the framework's ceiling beyond the reference "
+                "model family's lane-starved growth convs "
+                "(results/mfu_roofline_r03.json interpretation)",
+        "hardware": jax.devices()[0].device_kind,
+        "batch": args.batch,
+        "session_agreement_pct": round(100.0 * abs(a - b) / min(a, b), 1),
+        "rows": rows,
+    }
+    path = os.path.join(ROOT, args.out)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,8 +19,10 @@ and replication-padded up to the model's HxW; the original size is stored in
 the header and the padding cropped away on decompress, so round-trips are
 bit-exact on the original array.  Images LARGER than the model dims are
 replication-padded to tile multiples and split into model-size tiles
-(reference Patching semantics, extenddim.py:41-67) compressed as ONE
-batch -- arbitrary image sizes work with any trained config.
+(reference Patching semantics, extenddim.py:41-67), then chunked into
+power-of-two tile batches (_chunk_sizes) -- arbitrary image sizes work
+with any trained config, and a corpus of many distinct sizes compiles at
+most log2(max_chunk)+1 programs per direction, each shared across files.
 
 Two pipelines, selected by the config shape:
 - `train.model` (IDFlows): FlowCodec over model-size tiles;
@@ -40,10 +42,13 @@ Every container carries a per-file `mode`: `flow` (model-coded) or a
 stored escape (`stored-png`/`stored-zlib`) written when the classical
 encoding is smaller -- e.g. sub-tile images whose ceil-to-tile replication
 padding costs more than the whole PNG.  The mode choice bounds worst-case
-expansion at the header size, the same discipline as PNG's per-row filter
-choice or WebP's per-image mode choice; stored containers are
-model-independent and skip the fingerprint check.  `--no-stored-fallback`
-forces flow mode.
+expansion at the header size RELATIVE TO the escape candidates: the
+container's own PIL optimize=True re-encode and, for .png inputs, the
+original file bytes verbatim (so a stronger external optimizer like
+zopfli/oxipng can't beat the .lic by more than the header either) -- the
+same discipline as PNG's per-row filter choice or WebP's per-image mode
+choice.  Stored containers are model-independent and skip the fingerprint
+check.  `--no-stored-fallback` forces flow mode.
 """
 
 from __future__ import annotations
@@ -143,10 +148,28 @@ class _TwoLevelPipeline:
         return recs
 
 
-def _fingerprint(model_cfg: dict, *ckpt_paths: str) -> str:
-    """Ties .lic files to the (architecture, weights) pair."""
+def _variant_tag(cfg) -> str:
+    """Resolved compute-variant flags (fuse_1x1, dtype) per NN stack.
+    These select between float-rounding-different conv programs that the
+    raw YAML cannot distinguish (no config sets them), so they must be
+    part of the fingerprint: a container written under one variant will
+    not decode bit-exactly under the other."""
+    from ..models.config import FlowCfg
+
+    if isinstance(cfg, FlowCfg):
+        c, p = cfg.couple.nn, cfg.prior_nn
+        return (f"fuse={int(c.fuse_1x1)},{int(p.fuse_1x1)};"
+                f"dtype={c.dtype},{p.dtype}")
+    # TwoLevelCfg: both sub-flows' variants
+    return f"rough[{_variant_tag(cfg.rough)}]fine[{_variant_tag(cfg.fine)}]"
+
+
+def _fingerprint(model_cfg: dict, variant: str, *ckpt_paths: str) -> str:
+    """Ties .lic files to the (architecture, compute variant, weights)
+    triple."""
     h = hashlib.sha256()
     h.update(json.dumps(model_cfg, sort_keys=True).encode())
+    h.update(variant.encode())
     for p in ckpt_paths:
         with open(p, "rb") as f:
             h.update(f.read(1 << 20))
@@ -154,14 +177,14 @@ def _fingerprint(model_cfg: dict, *ckpt_paths: str) -> str:
 
 
 def _restore(params, ckpt_path):
-    from flax import serialization
-
-    from ..train.checkpoint import load_raw
+    from ..train.checkpoint import load_raw, restore_into
 
     raw = load_raw(ckpt_path)
     if "params" not in raw:
         raise SystemExit(f"{ckpt_path}: not a trainer checkpoint")
-    return serialization.from_state_dict(params, raw["params"])
+    # restore_into adapts checkpoints written by the other DenseLayer
+    # compute variant (fuse_1x1 on/off) -- an exact param rename
+    return restore_into(params, raw["params"])
 
 
 def _init_abstract(model, *example_args):
@@ -217,7 +240,7 @@ def _load_model(config_path: str, ckpt_path: str, num_streams: int,
             FlowCodec(model, num_streams=num_streams),
             tuple(train["input_size"]),
         )
-        fp = _fingerprint(flows, ckpt_path, vq_ckpt)
+        fp = _fingerprint(flows, _variant_tag(cfg), ckpt_path, vq_ckpt)
         return _ResidualPipeline(res, params, fp)
 
     model_cfg = dict(train["model"])
@@ -231,7 +254,7 @@ def _load_model(config_path: str, ckpt_path: str, num_streams: int,
         model = TwoLevelFlow(tcfg)
         init_x = jnp.zeros((1, tcfg.H, tcfg.W, tcfg.C), jnp.float32)
         params = _restore(_init_abstract(model, init_x), ckpt_path)
-        fp = _fingerprint(model_cfg, ckpt_path)
+        fp = _fingerprint(model_cfg, _variant_tag(tcfg), ckpt_path)
         return _TwoLevelPipeline(
             TwoLevelCodec(model, num_streams=num_streams), params, fp
         )
@@ -240,7 +263,7 @@ def _load_model(config_path: str, ckpt_path: str, num_streams: int,
     model = IDFlow(cfg)
     init_x = jnp.zeros((1, cfg.H, cfg.W, cfg.C), jnp.float32)
     params = _restore(_init_abstract(model, init_x), ckpt_path)
-    fp = _fingerprint(model_cfg, ckpt_path)
+    fp = _fingerprint(model_cfg, _variant_tag(cfg), ckpt_path)
     return _PlainPipeline(
         cfg, FlowCodec(model, num_streams=num_streams), params, fp
     )
@@ -290,15 +313,23 @@ def _to_tiles(pipe, in_path):
     return tiles, (H, W, C), arr
 
 
-def _stored_blob(arr: np.ndarray):
+def _stored_blob(arr: np.ndarray, src_path: str = None):
     """Smallest self-contained classical encoding of a uint8 HWC array:
     PNG (predictive filters) when PIL supports the channel count, raw
     zlib otherwise.  This is the container's worst-case escape: images the
     flow codes badly (sub-tile sizes paying ceil-to-tile padding, content
     far outside the training distribution) are never more than the header
-    larger than a classical codec -- the mode flag per file is the same
+    larger than the escape encoding -- the mode flag per file is the same
     discipline PNG (per-row filter choice) and WebP (per-image mode
-    choice) use."""
+    choice) use.
+
+    The bound is relative to the BEST candidate blob: the container's own
+    optimize=True PIL re-encode, plus -- when the input already is a .png
+    file -- the original file bytes verbatim (a stronger external
+    optimizer, e.g. zopfli/oxipng, then can't beat the .lic by more than
+    the header).  A raw-file candidate is used only if decoding it
+    reproduces the array bit-exactly (palette/16-bit PNGs read through
+    convert("RGB") would not)."""
     import io
     import zlib
 
@@ -309,11 +340,26 @@ def _stored_blob(arr: np.ndarray):
         Image.fromarray(
             arr.squeeze(-1) if arr.shape[-1] == 1 else arr
         ).save(b, format="PNG", optimize=True)
-        return "stored-png", b.getvalue()
+        blob = b.getvalue()
+        if src_path and src_path.lower().endswith(".png"):
+            with open(src_path, "rb") as f:
+                raw = f.read()
+            if len(raw) < len(blob):
+                try:
+                    rt = _decode_stored("stored-png", raw, arr.shape)
+                except (Exception, SystemExit):
+                    rt = None
+                if rt is not None and np.array_equal(rt, arr):
+                    blob = raw
+        return "stored-png", blob
     return "stored-zlib", zlib.compress(arr.tobytes(), 9)
 
 
-def _decode_stored(mode: str, blob: bytes, orig) -> np.ndarray:
+def _decode_stored(mode: str, blob: bytes, orig,
+                   name: str = "<blob>") -> np.ndarray:
+    """Decode a stored-escape blob, validating the decoded shape against
+    the header's (H, W, C) -- a corrupt/crafted blob whose pixel count
+    happens to match must not be silently reinterpreted by reshape."""
     H, W, C = orig
     if mode == "stored-png":
         import io
@@ -323,10 +369,21 @@ def _decode_stored(mode: str, blob: bytes, orig) -> np.ndarray:
         a = np.asarray(Image.open(io.BytesIO(blob)), np.uint8)
         if a.ndim == 2:
             a = a[..., None]
-        return a.reshape(H, W, C)
+        if a.shape != (H, W, C):
+            raise SystemExit(
+                f"{name}: stored-png decodes to {a.shape}, header says "
+                f"{(H, W, C)}"
+            )
+        return a
     import zlib
 
-    return np.frombuffer(zlib.decompress(blob), np.uint8).reshape(H, W, C)
+    raw = zlib.decompress(blob)
+    if len(raw) != H * W * C:
+        raise SystemExit(
+            f"{name}: stored-zlib decompresses to {len(raw)} bytes, "
+            f"header says {H * W * C}"
+        )
+    return np.frombuffer(raw, np.uint8).reshape(H, W, C)
 
 
 def _container_bytes(header: dict, segments) -> bytes:
@@ -336,22 +393,43 @@ def _container_bytes(header: dict, segments) -> bytes:
     )
 
 
-def _write_lic(pipe, out_path, segments, info, orig, in_path, arr=None):
+def _chunk_sizes(n: int, cap: int = 64):
+    """Binary decomposition of a tile count into descending powers of two
+    (each <= cap), e.g. 21 -> [16, 4, 1].  Every chunk batch size is a
+    power of two, so a whole corpus of distinct image sizes compiles at
+    most log2(cap)+1 programs per direction -- each reused across files --
+    instead of one program per distinct tile count (the round-3 cold-start
+    cost: 5 shapes -> 5 multi-minute remote compiles).  Chunking wastes no
+    bits (unlike padding to a bucket): every tile coded is a real tile."""
+    out = []
+    while n:
+        out.append(min(1 << (n.bit_length() - 1), cap))
+        n -= out[-1]
+    return out
+
+
+def _write_lic(pipe, out_path, file_packed, orig, in_path, arr=None):
     """Write the smaller of {flow container, stored escape} (arr=None
-    disables the escape and always writes the flow container)."""
+    disables the escape and always writes the flow container).
+    `file_packed`: [(segments, info)] per tile chunk of this file."""
+    segments = [b for segs, _ in file_packed for b in segs]
     flow = _container_bytes({
         "orig": list(orig),
         "nbits": pipe.nbits,
         "pipeline": pipe.name,
         "mode": "flow",
+        "chunks": [
+            {"nseg": len(segs),
+             "info": {k: v for k, v in info.items()
+                      if isinstance(v, (int, float, str, bool))}}
+            for segs, info in file_packed
+        ],
         "blob_lens": [len(b) for b in segments],
         "fingerprint": pipe.fingerprint,
-        "info": {k: v for k, v in info.items()
-                 if isinstance(v, (int, float, str, bool))},
     }, segments)
     data, mode = flow, "flow"
     if arr is not None:
-        smode, blob = _stored_blob(arr)
+        smode, blob = _stored_blob(arr, src_path=in_path)
         stored = _container_bytes({
             "orig": list(orig),
             "pipeline": pipe.name,
@@ -367,20 +445,31 @@ def _write_lic(pipe, out_path, segments, info, orig, in_path, arr=None):
           f"{8.0 * len(data) / (H * W * C):.4f} bpd [{mode}]")
 
 
-def compress_files(pipe, in_paths, out_paths, stored_fallback=True):
-    """Pipelined: ALL files are dispatched sync-free and packed with one
-    host transfer (FlowCodec.compress_many serving discipline)."""
-    tiles, origs, arrs = [], [], []
+def compress_files(pipe, in_paths, out_paths, stored_fallback=True,
+                   max_chunk=64):
+    """Pipelined: ALL files' tile chunks are dispatched sync-free and
+    packed with one host transfer (FlowCodec.compress_many serving
+    discipline).  Tile batches are chunked into powers of two
+    (_chunk_sizes) so compiled programs are shared across file sizes."""
+    chunks, per_file_nchunks, origs, arrs = [], [], [], []
     for p in in_paths:
         x, orig, arr = _to_tiles(pipe, p)
-        tiles.append(x)
+        sizes = _chunk_sizes(int(x.shape[0]), max_chunk)
+        off = 0
+        for b in sizes:
+            chunks.append(x[off : off + b])
+            off += b
+        per_file_nchunks.append(len(sizes))
         origs.append(orig)
         arrs.append(arr if stored_fallback else None)
-    packed = pipe.compress_many(tiles)
-    for in_path, out_path, (segments, info), orig, arr in zip(
-        in_paths, out_paths, packed, origs, arrs
+    packed = pipe.compress_many(chunks)
+    pos = 0
+    for in_path, out_path, nch, orig, arr in zip(
+        in_paths, out_paths, per_file_nchunks, origs, arrs
     ):
-        _write_lic(pipe, out_path, segments, info, orig, in_path, arr)
+        _write_lic(pipe, out_path, packed[pos : pos + nch], orig,
+                   in_path, arr)
+        pos += nch
 
 
 def compress_file(pipe, in_path, out_path, stored_fallback=True):
@@ -388,9 +477,9 @@ def compress_file(pipe, in_path, out_path, stored_fallback=True):
 
 
 def _read_lic(pipe, in_path):
-    """-> (mode, (segments, info), orig shape), with loud validation.
-    Stored-mode containers are model-independent, so the fingerprint /
-    pipeline checks apply to flow mode only."""
+    """-> (mode, [(segments, info)] per chunk, orig shape), with loud
+    validation.  Stored-mode containers are model-independent, so the
+    fingerprint / pipeline checks apply to flow mode only."""
     with open(in_path, "rb") as f:
         data = f.read()
     if data[:4] != _MAGIC or len(data) < 8:
@@ -400,6 +489,25 @@ def _read_lic(pipe, in_path):
         header = json.loads(data[8 : 8 + hlen])
     except Exception:
         raise SystemExit(f"{in_path}: corrupt header")
+    # schema validation BEFORE any field is used: a truncated-but-
+    # parseable header must fail as loudly as a corrupt one (every
+    # corruption path in this reader raises SystemExit, not a traceback),
+    # and a negative blob_lens entry must not walk `off` backwards past
+    # the trailing-bytes check
+    blob_lens = header.get("blob_lens")
+    orig = header.get("orig")
+    if not (
+        isinstance(blob_lens, list)
+        and blob_lens
+        and all(isinstance(n, int) and n >= 0 for n in blob_lens)
+    ):
+        raise SystemExit(f"{in_path}: corrupt header (blob_lens)")
+    if not (
+        isinstance(orig, list)
+        and len(orig) == 3
+        and all(isinstance(d, int) and d > 0 for d in orig)
+    ):
+        raise SystemExit(f"{in_path}: corrupt header (orig shape)")
     mode = header.get("mode", "flow")
     if mode == "flow":
         if header.get("fingerprint") != pipe.fingerprint:
@@ -415,39 +523,69 @@ def _read_lic(pipe, in_path):
     elif mode not in ("stored-png", "stored-zlib"):
         raise SystemExit(f"{in_path}: unknown container mode {mode!r}")
     segments, off = [], 8 + hlen
-    for n in header["blob_lens"]:
+    for n in blob_lens:
         segments.append(data[off : off + n])
         off += n
     if off != len(data):
         raise SystemExit(f"{in_path}: trailing/missing bytes")
-    info = dict(header.get("info", {}))
-    info.setdefault("batch", 1)
-    return mode, (segments, info), header["orig"]
+    if mode != "flow":
+        return mode, [(segments, {"batch": 1})], orig
+    chunks = header.get("chunks")
+    if not (
+        isinstance(chunks, list)
+        and chunks
+        and all(
+            isinstance(c, dict)
+            and isinstance(c.get("nseg"), int)
+            and c["nseg"] >= 0
+            and isinstance(c.get("info", {}), dict)
+            for c in chunks
+        )
+        and sum(c["nseg"] for c in chunks) == len(segments)
+    ):
+        raise SystemExit(f"{in_path}: corrupt header (chunks)")
+    out, pos = [], 0
+    for c in chunks:
+        info = dict(c.get("info", {}))
+        info.setdefault("batch", 1)
+        out.append((segments[pos : pos + c["nseg"]], info))
+        pos += c["nseg"]
+    return mode, out, orig
 
 
 def decompress_files(pipe, in_paths, out_paths):
-    """Pipelined: every container's decode is dispatched before the ONE
-    sync that verifies all state invariants (decompress_many).  Stored-mode
-    containers decode host-side and never touch the model."""
+    """Pipelined: every container's (every chunk's) decode is dispatched
+    before the ONE sync that verifies all state invariants
+    (decompress_many).  Stored-mode containers decode host-side and never
+    touch the model."""
     from ..ops.reshape import patch_merge
 
     parsed = [_read_lic(pipe, p) for p in in_paths]
-    flow_idx = [i for i, (m, _, _) in enumerate(parsed) if m == "flow"]
-    recs = (pipe.decompress_many([parsed[i][1] for i in flow_idx])
-            if flow_idx else [])
-    flow_rec = dict(zip(flow_idx, recs))
-    for i, (in_path, out_path, (mode, (segments, _), orig)) in enumerate(
+    entries = [
+        (i, chunk)
+        for i, (m, chunks, _) in enumerate(parsed)
+        if m == "flow"
+        for chunk in chunks
+    ]
+    recs = (pipe.decompress_many([c for _, c in entries])
+            if entries else [])
+    per_file = {}
+    for (i, _), r in zip(entries, recs):
+        per_file.setdefault(i, []).append(np.asarray(r))
+    for i, (in_path, out_path, (mode, chunks, orig)) in enumerate(
         zip(in_paths, out_paths, parsed)
     ):
         H, W, C = orig
         if mode == "flow":
+            tiles = (per_file[i][0] if len(per_file[i]) == 1
+                     else np.concatenate(per_file[i], axis=0))
             full = patch_merge(
-                np.asarray(flow_rec[i]),
+                tiles,
                 H + (-H % pipe.tile_h), W + (-W % pipe.tile_w),
             )
             arr = np.round(full[0, :H, :W, :C] * 256.0).astype(np.uint8)
         else:
-            arr = _decode_stored(mode, segments[0], orig)
+            arr = _decode_stored(mode, chunks[0][0][0], orig, name=in_path)
         _write_image(out_path, arr)
         print(f"{in_path} -> {out_path}: {H}x{W}x{C} [{mode}]")
 
@@ -473,6 +611,9 @@ def main(argv=None):
     ap.add_argument("--no-stored-fallback", action="store_true",
                     help="always write flow containers, even when the "
                     "stored escape (PNG/zlib) would be smaller")
+    ap.add_argument("--max-chunk", type=int, default=64,
+                    help="largest tile-chunk batch (power-of-two "
+                    "decomposition; bounds compiled program count)")
     args = ap.parse_args(argv)
 
     pipe = _load_model(
@@ -487,7 +628,8 @@ def main(argv=None):
     if args.mode == "compress":
         compress_files(pipe, args.input,
                        [_out(p, ".lic") for p in args.input],
-                       stored_fallback=not args.no_stored_fallback)
+                       stored_fallback=not args.no_stored_fallback,
+                       max_chunk=args.max_chunk)
     else:
         decompress_files(pipe, args.input,
                          [_out(p, ".png") for p in args.input])

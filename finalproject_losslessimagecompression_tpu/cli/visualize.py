@@ -27,7 +27,7 @@ from ..models.config import FlowCfg, latent_shapes
 from ..models.idflow import IDFlow
 from ..ops.dlogistic import dlogistic_sample
 from ..registry import DATALOADERS, build
-from ..train.checkpoint import load_raw
+from ..train.checkpoint import load_raw, restore_into
 from ..train.metrics import MetricsWriter
 
 
@@ -39,7 +39,9 @@ def load_model(model_cfg: dict):
     init_x = jnp.zeros((1, cfg.H, cfg.W, cfg.C), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), init_x)
     if load_path:
-        params = load_raw(load_path)["params"]
+        # restore_into adapts checkpoints written by the other DenseLayer
+        # compute variant (fuse_1x1 on/off; exact rename, checkpoint.py)
+        params = restore_into(params, load_raw(load_path)["params"])
     return cfg, model, params
 
 

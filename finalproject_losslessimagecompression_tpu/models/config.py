@@ -35,6 +35,14 @@ class DenseBlockCfg:
     # FLOPs removes cheap work and adds per-layer weight-contraction
     # overhead.  Kept as an option; default off.
     fuse_1x1: bool = False
+    # opt-in, NON-PARITY: round each layer's growth up to a multiple of
+    # this (e.g. 128 = the VPU/MXU lane count).  The reference split
+    # (growth_channel/depth ~ 43 lanes at flagship scale) starves the
+    # 3x3 convs' output lanes, which the r3 roofline identified as the
+    # MFU ceiling (results/mfu_roofline_r03.json); padding the growth
+    # turns them into full-lane matmuls at the cost of more params/FLOPs.
+    # 0 = off (reference parity, every shipped config).
+    growth_multiple: int = 0
 
     @classmethod
     def from_ref(cls, cfg: dict) -> "DenseBlockCfg":
@@ -48,7 +56,16 @@ class DenseBlockCfg:
             depth=cfg.pop("depth", 8),
             act=act,
             dtype=cfg.pop("dtype", "float32"),
-            fuse_1x1=cfg.pop("fuse_1x1", True),
+            # default matches the dataclass and the measured decision
+            # (results/mfu_roofline_r03.json: fused 20.2ms vs unfused
+            # 17.9ms/step at flagship scale -- fusion removes cheap
+            # full-lane 1x1 MACs while the lane-starved 3x3 stays the
+            # bottleneck).  The two variants have structurally different
+            # param trees; train/checkpoint.py adapts either layout on
+            # load, and the .lic fingerprint covers the flag so containers
+            # can never silently cross variants (cli/codec.py).
+            fuse_1x1=cfg.pop("fuse_1x1", False),
+            growth_multiple=cfg.pop("growth_multiple", 0),
         )
 
 

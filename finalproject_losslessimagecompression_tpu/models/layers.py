@@ -115,6 +115,10 @@ class DenseBlock(nn.Module):
         x = x.astype(dt)
         for i in range(d):
             growth = (i + 1) * g // d - i * g // d
+            if self.cfg.growth_multiple:
+                # opt-in non-parity: full-lane 3x3 convs (see config)
+                m = self.cfg.growth_multiple
+                growth = -(-growth // m) * m
             x = DenseLayer(growth, self.cfg.act, self.cfg.dtype,
                            self.cfg.fuse_1x1, name=f"layer{i}")(x)
         out = nn.Conv(

@@ -34,11 +34,80 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
             os.unlink(tmp)
 
 
+# -- DenseLayer param-layout adaptation -------------------------------------
+#
+# The two DenseLayer compute variants (models/layers.py) store the SAME four
+# leaves under different tree shapes:
+#   fuse_1x1=True :  {conv1_kernel, conv1_bias, conv3_kernel, conv3_bias}
+#   fuse_1x1=False:  {conv1: {kernel, bias}, conv3: {kernel, bias}}
+# (the fused variant composes the weights at apply time, it does not store a
+# composed kernel), so converting a checkpoint between layouts is an exact
+# rename -- no float changes.  adapt_state_dict() rewrites a restored state
+# dict to the template's layout so checkpoints written by either variant
+# load into either model.
+
+_FLAT_KEYS = {"conv1_kernel", "conv1_bias", "conv3_kernel", "conv3_bias"}
+_NEST_KEYS = {"conv1", "conv3"}
+
+
+def _is_flat_dense(d: Any) -> bool:
+    return isinstance(d, dict) and _FLAT_KEYS <= set(d.keys())
+
+def _is_nested_dense(d: Any) -> bool:
+    return (
+        isinstance(d, dict)
+        and _NEST_KEYS <= set(d.keys())
+        and all(
+            isinstance(d[k], dict) and {"kernel", "bias"} <= set(d[k].keys())
+            for k in _NEST_KEYS
+        )
+    )
+
+
+def adapt_state_dict(raw: Any, template: Any) -> Any:
+    """Rewrite DenseLayer subtrees of `raw` to match `template`'s layout
+    (fused flat params <-> unfused conv submodules); other nodes pass
+    through untouched.  Pure rename: values are bit-identical."""
+    if isinstance(template, dict) and isinstance(raw, dict):
+        if _is_flat_dense(raw) and _is_nested_dense(template):
+            raw = {
+                **{k: v for k, v in raw.items() if k not in _FLAT_KEYS},
+                "conv1": {"kernel": raw["conv1_kernel"],
+                          "bias": raw["conv1_bias"]},
+                "conv3": {"kernel": raw["conv3_kernel"],
+                          "bias": raw["conv3_bias"]},
+            }
+        elif _is_nested_dense(raw) and _is_flat_dense(template):
+            raw = {
+                **{k: v for k, v in raw.items() if k not in _NEST_KEYS},
+                "conv1_kernel": raw["conv1"]["kernel"],
+                "conv1_bias": raw["conv1"]["bias"],
+                "conv3_kernel": raw["conv3"]["kernel"],
+                "conv3_bias": raw["conv3"]["bias"],
+            }
+        return {
+            k: (adapt_state_dict(v, template[k]) if k in template else v)
+            for k, v in raw.items()
+        }
+    return raw
+
+
+def restore_into(template: Dict[str, Any], raw: Dict[str, Any]):
+    """from_state_dict with DenseLayer layout adaptation."""
+    tpl_sd = serialization.to_state_dict(template)
+    return serialization.from_state_dict(
+        template, adapt_state_dict(raw, tpl_sd)
+    )
+
+
 def load_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
-    """Restore into the structure of `template` (same pytree layout)."""
+    """Restore into the structure of `template` (same pytree layout).
+    Checkpoints written by the other DenseLayer compute variant
+    (fuse_1x1 on/off) are adapted -- the rename is exact, see
+    adapt_state_dict."""
     with open(path, "rb") as f:
         blob = f.read()
-    return serialization.from_bytes(template, blob)
+    return restore_into(template, serialization.msgpack_restore(blob))
 
 
 def load_raw(path: str) -> Dict[str, Any]:

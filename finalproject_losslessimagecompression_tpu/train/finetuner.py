@@ -19,7 +19,12 @@ import optax
 from ..models.config import FlowCfg
 from ..models.idflow import IDFlow, log_likelihood
 from ..registry import DATALOADERS, TRAINERS, build
-from .checkpoint import load_checkpoint, load_raw, save_checkpoint
+from .checkpoint import (
+    load_checkpoint,
+    load_raw,
+    restore_into,
+    save_checkpoint,
+)
 from .metrics import MetricsWriter
 from .optim import build_optimizer
 
@@ -65,7 +70,10 @@ class Finetuner:
         )
         self.params = self.model.init(jax.random.PRNGKey(seed), init_x)
         if load_path:
-            self.params = load_raw(load_path)["params"]
+            # cross-variant (fuse_1x1) checkpoints adapt on load
+            self.params = restore_into(
+                self.params, load_raw(load_path)["params"]
+            )
 
         self.tuner = jnp.zeros(
             (self.cfg.H, self.cfg.W, self.cfg.C), jnp.float32

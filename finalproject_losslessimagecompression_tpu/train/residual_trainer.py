@@ -61,6 +61,7 @@ class ResidualTrainer:
         max_eval_batches: int = 0,
         test_coding: bool = False,
         use_mesh: bool = False,
+        log_every: int = 1,
     ):
         flows = dict(flows)
         self.load_path = flows.pop("load_path", None)
@@ -95,6 +96,7 @@ class ResidualTrainer:
         self.patch_batch_size = patch_batch_size
         self.max_eval_batches = max_eval_batches
         self.test_coding = test_coding
+        self.log_every = max(1, log_every)
         self.step = 0
 
         init_x = jnp.zeros(
@@ -343,8 +345,15 @@ class ResidualTrainer:
             self.params, self.opt_state, loss, aux = self.train_step(
                 self.params, self.opt_state, data, k
             )
-            self.writer.add_scalar("train loss", float(loss), self.step)
-            self.writer.add_scalar("train bpd", float(loss) / LOG2, self.step)
+            if self.step % self.log_every == 0:
+                # float(loss) forces a host sync (~one tunnel round trip
+                # per call on remote runtimes); log_every > 1 keeps the
+                # device pipeline hot between logs (same discipline as
+                # Trainer, train/trainer.py)
+                self.writer.add_scalar("train loss", float(loss), self.step)
+                self.writer.add_scalar(
+                    "train bpd", float(loss) / LOG2, self.step
+                )
 
             if self._at_interval(self.evaluate_interval):
                 ev = self.evaluate()

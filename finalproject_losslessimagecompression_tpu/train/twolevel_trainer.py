@@ -87,6 +87,7 @@ class TwoLevelTrainer:
         test_coding: bool = False,
         num_streams: int = 4096,
         use_mesh: bool = False,
+        log_every: int = 1,
     ):
         model = dict(model)
         self.load_path = model.pop("load_path", None)
@@ -102,6 +103,7 @@ class TwoLevelTrainer:
         self.save_path = save_path
         self.writer = MetricsWriter(writer_path)
         self.max_eval_batches = max_eval_batches
+        self.log_every = max(1, log_every)
         self.step = 0
 
         init_x = jnp.zeros((1, self.cfg.H, self.cfg.W, self.cfg.C),
@@ -225,10 +227,13 @@ class TwoLevelTrainer:
             self.params, self.opt_state, loss, aux = self.train_step(
                 self.params, self.opt_state, batch
             )
-            bpd, bpd1, bpd2 = self._bpds(aux)
-            self.writer.add_scalar("train bpd", bpd, self.step)
-            self.writer.add_scalar("train bpd 1", bpd1, self.step)
-            self.writer.add_scalar("train bpd 2", bpd2, self.step)
+            if self.step % self.log_every == 0:
+                # _bpds fetches the losses (host sync); log_every > 1
+                # keeps the device pipeline hot (Trainer's discipline)
+                bpd, bpd1, bpd2 = self._bpds(aux)
+                self.writer.add_scalar("train bpd", bpd, self.step)
+                self.writer.add_scalar("train bpd 1", bpd1, self.step)
+                self.writer.add_scalar("train bpd 2", bpd2, self.step)
 
             if self._at_interval(self.evaluate_interval):
                 tb, tb1, tb2 = self.evaluate()

@@ -120,6 +120,7 @@ class VQVAETrainer:
         seed: int = 0,
         max_eval_batches: int = 0,
         use_mesh: bool = False,
+        log_every: int = 1,
     ):
         model = dict(model)
         self.load_path = model.pop("load_path", None)
@@ -135,6 +136,7 @@ class VQVAETrainer:
         self.save_path = save_path
         self.writer = MetricsWriter(writer_path)
         self.max_eval_batches = max_eval_batches
+        self.log_every = max(1, log_every)
         self.step = 0
 
         train_args = dict(train_args or {})
@@ -210,14 +212,25 @@ class VQVAETrainer:
                     float(self.reinit_interval),
                     float(self.threshold),
                 )
-                if bool(did):
-                    print(f"vq re-init: replaced {int(nrep)} codewords")
-            self.writer.add_scalar("train loss", float(loss), self.step)
-            self.writer.add_scalar("train recloss", float(recloss), self.step)
-            self.writer.add_scalar("train vqloss", float(vqloss), self.step)
-            self.writer.add_scalar(
-                "train bpd", float(recloss) / log, self.step
-            )
+            at_log = self.step % self.log_every == 0
+            if self.reinit_interval and at_log and bool(did):
+                # bool(did) forces a host sync, so the reinit report rides
+                # the log cadence (the reinit itself runs every step,
+                # device-side)
+                print(f"vq re-init: replaced {int(nrep)} codewords")
+            if at_log:
+                # scalar reads sync the host; log_every > 1 keeps the
+                # device pipeline hot (Trainer's discipline)
+                self.writer.add_scalar("train loss", float(loss), self.step)
+                self.writer.add_scalar(
+                    "train recloss", float(recloss), self.step
+                )
+                self.writer.add_scalar(
+                    "train vqloss", float(vqloss), self.step
+                )
+                self.writer.add_scalar(
+                    "train bpd", float(recloss) / log, self.step
+                )
 
             if self._at_interval(self.evaluate_interval):
                 bpd, recon = self.evaluate()

@@ -221,6 +221,23 @@ class TestFileCodecCLI:
         with pytest.raises(SystemExit):
             main(["decompress", "--input", lic] + bad)
 
+    def test_chunk_sizes(self):
+        """Power-of-two decomposition: program reuse across file sizes
+        (VERDICT r3 item 5)."""
+        from finalproject_losslessimagecompression_tpu.cli.codec import (
+            _chunk_sizes,
+        )
+
+        assert _chunk_sizes(1) == [1]
+        assert _chunk_sizes(6) == [4, 2]
+        assert _chunk_sizes(21) == [16, 4, 1]
+        assert _chunk_sizes(100, cap=64) == [64, 32, 4]
+        assert sum(_chunk_sizes(777)) == 777
+        # a whole corpus of distinct sizes shares a small program set
+        progs = {b for n in (1, 2, 3, 5, 6, 12, 20, 100)
+                 for b in _chunk_sizes(n)}
+        assert progs <= {1, 2, 4, 8, 16, 32, 64}
+
     def test_stored_fallback_mode(self, tmp_path):
         """Images the flow codes badly (random noise paying ceil-to-tile
         padding) fall back to the stored escape: the .lic is never more
@@ -272,7 +289,15 @@ class TestFileCodecCLI:
         (hlen,) = struct.unpack("<I", data[4:8])
         header = json.loads(data[8:8 + hlen])
         assert header["mode"] == "stored-png"
-        # worst-case bound: header + PNG of the original
+        # worst-case bound, exact by construction: the escape stores the
+        # smaller of {PIL optimize=True re-encode, the original .png file
+        # bytes} (cli/codec.py:_stored_blob), so the .lic is bounded by
+        # header + each candidate
+        import io
+
+        b = io.BytesIO()
+        Image.fromarray(noise).save(b, format="PNG", optimize=True)
+        assert os.path.getsize(nlic) <= 8 + hlen + b.tell()
         assert os.path.getsize(nlic) <= 8 + hlen + os.path.getsize(nsrc)
 
         main(["decompress", "--input", nlic,

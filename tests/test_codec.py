@@ -142,6 +142,24 @@ class TestInterleaved:
         assert np.all(np.asarray(hi) == 1) and np.all(np.asarray(lo) == 0)
         assert np.array_equal(np.asarray(dec), v)
 
+    def test_pack_optimistic_prefix_overflow(self, rng):
+        """Symbols pinned to the window's far-tail bin cost ~24 bits each,
+        beyond pack's 12-bit optimistic single-fetch bound -- the pack
+        path must fall back to fetching the tail and still round-trip
+        bit-exactly (container.pack_streams_many)."""
+        n = 2048
+        means = np.zeros(n, np.float32)
+        scales = np.full(n, np.exp(-4.0), np.float32)
+        v = lower_bin(means).astype(np.int32)  # far tail for every symbol
+        enc = interleaved_encode(v, means, scales, num_streams=32)
+        blob = pack_streams(enc)
+        # the message really exceeded the bound (else this tests nothing)
+        assert len(blob) > (n * 12) // 8
+        enc2 = unpack_streams(blob)
+        dec, hi, lo = interleaved_decode(enc2, means, scales)
+        assert np.all(np.asarray(hi) == 1) and np.all(np.asarray(lo) == 0)
+        assert np.array_equal(np.asarray(dec), v)
+
     def test_tensor_api(self, rng):
         shape = (4, 8, 8, 6)
         n = int(np.prod(shape))
@@ -291,3 +309,48 @@ class TestPallasKillSwitch:
         assert any("falling back" in r.message for r in caplog.records)
         dec, hi, lo = IL.interleaved_decode(enc, means, scales)
         assert np.array_equal(np.asarray(dec), v)
+
+    def _patch_decode(self, monkeypatch, IL, err_holder):
+        real = IL._decode_scan
+
+        def stub(buf, nw, hi, lo, m, s, S, k, fill, donated, use_pallas):
+            if use_pallas:
+                raise err_holder[0]
+            return real(buf, nw, hi, lo, m, s, S, k, fill, donated, False)
+
+        monkeypatch.setattr(IL, "_PALLAS_DISABLED", [False])
+        monkeypatch.setattr(
+            IL, "_pallas_ok", lambda S, k: not IL._PALLAS_DISABLED[0]
+        )
+        monkeypatch.setattr(IL, "_decode_scan", stub)
+
+    def test_decode_mosaic_error_falls_back(self, monkeypatch, rng, caplog):
+        """Same policy on the decode side: Mosaic failure -> one-time
+        disable + scan decode, bit-correct."""
+        import logging
+
+        from finalproject_losslessimagecompression_tpu.codec import (
+            interleaved as IL,
+        )
+
+        v, means, scales = self._symbols(rng)
+        enc = IL.interleaved_encode(v, means, scales, num_streams=64)
+        err = [RuntimeError("INTERNAL: Mosaic lowering failed")]
+        self._patch_decode(monkeypatch, IL, err)
+        with caplog.at_level(logging.WARNING):
+            dec, hi, lo = IL.interleaved_decode(enc, means, scales)
+        assert IL._PALLAS_DISABLED[0]
+        assert np.array_equal(np.asarray(dec), v)
+
+    def test_decode_non_mosaic_error_propagates(self, monkeypatch, rng):
+        from finalproject_losslessimagecompression_tpu.codec import (
+            interleaved as IL,
+        )
+
+        v, means, scales = self._symbols(rng)
+        enc = IL.interleaved_encode(v, means, scales, num_streams=64)
+        err = [ValueError("some unrelated decode failure")]
+        self._patch_decode(monkeypatch, IL, err)
+        with pytest.raises(ValueError, match="unrelated"):
+            IL.interleaved_decode(enc, means, scales)
+        assert not IL._PALLAS_DISABLED[0]

@@ -479,3 +479,115 @@ class TestDenseLayerFusion:
             )
         if flops[True] and flops[False]:
             assert flops[True] < 0.8 * flops[False], flops
+
+    def test_from_ref_defaults_unfused(self):
+        """YAML-built blocks must default to the measured-faster unfused
+        variant (results/mfu_roofline_r03.json: 17.9 vs 20.2 ms/step at
+        flagship scale) -- matching the dataclass default."""
+        from finalproject_losslessimagecompression_tpu.models.config import (
+            DenseBlockCfg,
+        )
+
+        assert DenseBlockCfg().fuse_1x1 is False
+        assert DenseBlockCfg.from_ref({}).fuse_1x1 is False
+        assert DenseBlockCfg.from_ref({"fuse_1x1": True}).fuse_1x1 is True
+
+    def test_growth_multiple_pads_layer_widths(self):
+        """Opt-in non-parity knob: per-layer growth rounds up to the lane
+        multiple; default 0 keeps reference growth splits exactly."""
+        import jax
+
+        from finalproject_losslessimagecompression_tpu.models.config import (
+            DenseBlockCfg,
+        )
+        from finalproject_losslessimagecompression_tpu.models.layers import (
+            DenseBlock,
+        )
+
+        x = jnp.zeros((1, 4, 4, 6), jnp.float32)
+        cfg = DenseBlockCfg(growth_channel=10, depth=3, growth_multiple=8)
+        m = DenseBlock(4, cfg)
+        p = m.init(jax.random.PRNGKey(0), x)
+        widths = [
+            p["params"][f"layer{i}"]["conv3"]["kernel"].shape[-1]
+            for i in range(3)
+        ]
+        assert widths == [8, 8, 8], widths  # ceil([4,3,3] / 8) * 8
+        assert m.apply(p, x).shape == (1, 4, 4, 4)
+        assert DenseBlockCfg.from_ref({}).growth_multiple == 0
+
+
+class TestCheckpointLayoutAdaptation:
+    """Checkpoints written by either DenseLayer compute variant load into
+    either model: the two layouts store the same four leaves (the fused
+    variant composes weights at apply time), so adaptation is an exact
+    rename (train/checkpoint.py:adapt_state_dict)."""
+
+    def _small_models(self):
+        from finalproject_losslessimagecompression_tpu.models import IDFlow
+        from finalproject_losslessimagecompression_tpu.models.config import (
+            CouplingCfg,
+            DenseBlockCfg,
+            FlowCfg,
+        )
+
+        def cfg(fuse):
+            nn = DenseBlockCfg(16, 2, "ReLU", fuse_1x1=fuse)
+            return FlowCfg(
+                H=8, W=8, C=3, nflows=2, nsplit=2,
+                couple=CouplingCfg(0.75, nn), prior_nn=nn,
+            )
+
+        return IDFlow(cfg(True)), IDFlow(cfg(False))
+
+    def test_cross_layout_roundtrip(self, tmp_path, rng):
+        import jax
+
+        from finalproject_losslessimagecompression_tpu.train.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        fused, unfused = self._small_models()
+        x = jnp.asarray(
+            np.round(rng.uniform(0, 1, (1, 8, 8, 3)) * 256, 0).astype(
+                np.float32
+            ) / 256.0
+        )
+        pf = fused.init(jax.random.PRNGKey(7), x)
+        path = str(tmp_path / "fused.ckpt")
+        save_checkpoint(path, {"params": pf, "step": 3})
+
+        pu_tpl = unfused.init(jax.random.PRNGKey(0), x)
+        st = load_checkpoint(path, {"params": pu_tpl, "step": 0})
+        pu = st["params"]
+        assert int(st["step"]) == 3
+        # same function up to float rounding of the composed vs two-conv
+        # form (the values are identical; only the compute path differs)
+        yf = fused.apply(pf, x)
+        yu = unfused.apply(pu, x)
+        for a, b in zip(yf[0], yu[0]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
+        # leaves are bit-identical after the rename
+        leaves_f = sorted(
+            np.asarray(l).tobytes()
+            for l in jax.tree_util.tree_leaves(pf)
+        )
+        leaves_u = sorted(
+            np.asarray(l).tobytes()
+            for l in jax.tree_util.tree_leaves(pu)
+        )
+        assert leaves_f == leaves_u
+
+        # and the reverse direction (unfused checkpoint -> fused model)
+        path2 = str(tmp_path / "unfused.ckpt")
+        save_checkpoint(path2, {"params": pu, "step": 4})
+        pf_tpl = fused.init(jax.random.PRNGKey(1), x)
+        st2 = load_checkpoint(path2, {"params": pf_tpl, "step": 0})
+        leaves_f2 = sorted(
+            np.asarray(l).tobytes()
+            for l in jax.tree_util.tree_leaves(st2["params"])
+        )
+        assert leaves_f2 == leaves_f
