@@ -26,6 +26,18 @@ import time
 import numpy as np
 
 
+def _fence(x):
+    """Trustworthy device sync: fetch one element's VALUE.  On the tunnel
+    runtime jax.block_until_ready can return before remote execution
+    completes (the r3 roofline artifact -- see bench_train_mfu); a value
+    fetch cannot, because the bytes must exist to be returned."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(x)
+    return jax.device_get(jnp.ravel(leaves[-1])[:1])
+
+
 def build_model(quick: bool, seed: int = 0, bf16: bool = False):
     import jax
     import jax.numpy as jnp
@@ -58,7 +70,9 @@ def build_model(quick: bool, seed: int = 0, bf16: bool = False):
         np.round(rng.uniform(0, 1, (1, 64, 64, 3)) * 256).astype(np.float32)
         / 256.0
     )
-    params = model.init(jax.random.PRNGKey(0), x)
+    # jit the init: eager flax init pays one tunnel RT per op (minutes
+    # for the flagship model; cli/codec.py measured ~335 s eager)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     return cfg, model, params
 
 
@@ -132,7 +146,7 @@ def bench_e2e(cfg, model, params, batch: int, iters: int, queue: int = 4):
     t0 = time.time()
     per_batch = [codec._compress_deferred(params, x) for x in xs]
     flat = [e for encs, _ in per_batch for e in encs]
-    jax.block_until_ready([e.words for e in flat])
+    _fence([e.words for e in flat])
     t_enc_device = time.time() - t0
     t0 = time.time()
     blobs = pack_streams_many(flat)
@@ -144,7 +158,7 @@ def bench_e2e(cfg, model, params, batch: int, iters: int, queue: int = 4):
     ]
     t0 = time.time()
     outs = [codec._decompress_deferred(params, b, i) for b, i in packed2]
-    jax.block_until_ready([x for x, _ in outs])
+    _fence([x for x, _ in outs])
     t_dec_device = time.time() - t0
     t0 = time.time()
     codec._check_oks([ok for _, oks in outs for ok in oks])
@@ -202,25 +216,34 @@ def bench_train_mfu(cfg, model, params, batch: int, steps: int = 10,
                     windows: int = 3):
     """Flagship train-step wall clock + model FLOPs -> achieved TFLOP/s and
     MFU (fraction of the chip's matmul peak).  FLOPs come from XLA's own
-    cost analysis of the compiled step (includes fwd+bwd+optimizer).
+    cost analysis of the compiled step (includes fwd+bwd+optimizer),
+    cross-checked against an analytic conv-MAC hand count
+    (results/mfu_roofline_r04.json).
 
-    Timing is the MEDIAN of `windows` independent `steps`-step windows
-    with the per-window numbers and spread reported alongside -- a single
-    window is at the mercy of tunnel latency spikes and remote-worker
-    contention (BENCH_r03 recorded 47.5 ms for the same program a
-    same-day roofline measured at 17.9 ms; VERDICT r3 item 2), so a
-    number without its spread is not evidence.
+    TWO timings, both medians over `windows` windows, both fenced by a
+    VALUE fetch (float(loss)) -- jax.block_until_ready has been observed
+    to return before remote execution completes on the tunnel runtime
+    (r3's '17.9 ms / 68% MFU' roofline was this artifact: the same
+    'timing' reported a 20.7-TFLOP variant at 5.6x the chip's peak; only
+    a value fetch is a trustworthy fence, see CLAUDE.md):
+    - train_step_time_ms: host-observed loop of single-step dispatches --
+      what a naive per-step training loop pays (includes ~one tunnel
+      dispatch per step of host overhead);
+    - train_step_time_device_ms: `steps` steps inside ONE lax.scan'd
+      program (make_multi_train_step) -- pure device compute, one
+      dispatch per window; this is the MFU numerator and also the real
+      trainer fast path (Trainer steps_per_dispatch).
 
     MFU denominator: the chip's bf16 matmul peak for BOTH dtypes.  Under
     JAX's default matmul precision, float32-parameter convs execute on
     the MXU with bfloat16 multiplies (f32 accumulate) -- one MXU pass,
     the same rate as an explicit bf16 model -- so the bf16 peak is the
-    physically correct ceiling for the f32 configs too, not a 2x
-    understatement."""
-    import jax
+    physically correct ceiling for the f32 configs too."""
+    import jax.numpy as jnp
     import optax
 
     from finalproject_losslessimagecompression_tpu.train.trainer import (
+        make_multi_train_step,
         make_train_step,
     )
     from finalproject_losslessimagecompression_tpu.utils.profiling import (
@@ -231,40 +254,58 @@ def bench_train_mfu(cfg, model, params, batch: int, steps: int = 10,
     opt = optax.adamax(1e-4)
     opt_state = opt.init(params)
     step_fn, _ = make_train_step(model, opt)
+    multi = make_multi_train_step(model, opt, steps)
     x = _batches(batch, 1, seed=5)[0]
+    xs = jnp.stack([x] * steps)
     flops = compiled_flops(step_fn, params, opt_state, x)
-    # warmup (compile + cache) -- step donates params/opt_state, so thread
+    flops_multi = compiled_flops(multi, params, opt_state, xs)
+    # warmup (compile + cache); both programs donate, so thread state
     for _ in range(2):
         params, opt_state, loss, _ = step_fn(params, opt_state, x)
-    jax.block_until_ready(loss)
-    per_window = []
+    float(loss)  # value fence
+    host_w = []
     for _ in range(windows):
         t0 = time.time()
         for _ in range(steps):
             params, opt_state, loss, _ = step_fn(params, opt_state, x)
-        jax.block_until_ready(loss)
-        per_window.append((time.time() - t0) / steps)
-    dt = statistics.median(per_window)
-    spread = (max(per_window) - min(per_window)) / dt if dt else 0.0
+        float(loss)  # value fence
+        host_w.append((time.time() - t0) / steps)
+    params, opt_state, losses = multi(params, opt_state, xs)  # warm compile
+    float(losses[-1])
+    dev_w = []
+    for _ in range(windows):
+        t0 = time.time()
+        params, opt_state, losses = multi(params, opt_state, xs)
+        float(losses[-1])  # value fence
+        dev_w.append((time.time() - t0) / steps)
+    dt_host = statistics.median(host_w)
+    dt_dev = statistics.median(dev_w)
+    spread = (max(dev_w) - min(dev_w)) / dt_dev if dt_dev else 0.0
     out = {
-        "train_step_time_ms": round(dt * 1e3, 2),
-        "train_step_time_windows_ms": [
-            round(t * 1e3, 2) for t in per_window
-        ],
+        "train_step_time_ms": round(dt_host * 1e3, 2),
+        "train_step_time_device_ms": round(dt_dev * 1e3, 2),
+        "train_dispatch_overhead_ms": round((dt_host - dt_dev) * 1e3, 2),
+        "train_step_time_windows_ms": [round(t * 1e3, 2) for t in host_w],
+        "train_step_device_windows_ms": [round(t * 1e3, 2) for t in dev_w],
         "train_step_time_spread_pct": round(100.0 * spread, 1),
     }
-    if flops:
-        tflops = flops / dt / 1e12
-        out["train_flops_per_step"] = flops
+    step_flops = (flops_multi / steps) if flops_multi else flops
+    if step_flops:
+        tflops = step_flops / dt_dev / 1e12
+        out["train_flops_per_step"] = step_flops
         out["train_achieved_tflops"] = round(tflops, 2)
         peak = device_peak_tflops()
         if peak:
             out["train_mfu_pct"] = round(100.0 * tflops / peak, 2)
+            out["train_mfu_host_pct"] = (
+                round(100.0 * step_flops / dt_host / 1e12 / peak, 2)
+            )
             out["mfu_peak_tflops_bf16"] = peak
             out["mfu_note"] = (
-                "denominator is the bf16 MXU peak for all dtypes: JAX "
-                "default matmul precision runs f32 convs as one bf16 MXU "
-                "pass (f32 accumulate)"
+                "MFU from the scanned device-side step time, value-"
+                "fenced; denominator is the bf16 MXU peak for all "
+                "dtypes (JAX default matmul precision runs f32 convs "
+                "as one bf16 MXU pass, f32 accumulate)"
             )
     return out
 
@@ -303,7 +344,7 @@ def bench_codec_only(n_symbols: int, iters: int):
     for _ in range(iters):
         enc = interleaved_encode(v, means, scales, num_streams=8192)
         dec, hi, lo = interleaved_decode(enc, means, scales)
-    jax.block_until_ready(dec)
+    _fence(dec)
     host_rate = n_symbols / ((time.time() - t0) / iters)
 
     # device-resident throughput per backend
@@ -330,7 +371,7 @@ def bench_codec_only(n_symbols: int, iters: int):
                 be, tot.astype(jnp.int32), bh, bl, md, sd, S, k, None, None,
                 up,
             )
-        jax.block_until_ready(vals)
+        _fence(vals)
         rates[name] = n_symbols / ((time.time() - t0) / dev_iters)
     return host_rate, rates, (v, means, scales)
 
@@ -387,7 +428,7 @@ def bench_codec_device_large(n_symbols: int, iters: int = 3):
                 be, tot.astype(jnp.int32), bh, bl, md, sd, S, k, None, None,
                 up,
             )
-        jax.block_until_ready(vals)
+        _fence(vals)
         rates[name] = n_symbols / ((time.time() - t0) / iters)
     return rates, windowed
 

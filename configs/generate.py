@@ -136,6 +136,7 @@ CONFIGS["config11"] = dict(train=dict(
 CONFIGS["imagenet64"] = dict(train=dict(
     model=flow(H=64, W=64),
     test_coding=True,
+    steps_per_dispatch=4,
     train_dataloader=in64_loader(16, True),
     test_dataloader=in64_loader(16, False),
     **tail("imagenet64", ev=10000, sv=25000)))
@@ -335,6 +336,7 @@ CONFIGS["vis_config_imagenet64"] = dict(train=dict(
 #    equivalent evidence is its CelebA training curve
 #    (reference: utils/fig/train_bpd.png, trainer.py:239-240,326-327).
 CONFIGS["synthetic64"] = dict(train=dict(
+    steps_per_dispatch=4,
     model=flow(H=64, W=64, nflows=8, nsplit=3, couple_g=256, couple_d=6,
                prior_g=256, prior_d=6, act="ReLU"),
     test_coding=True,
@@ -353,6 +355,7 @@ CONFIGS["synthetic64"] = dict(train=dict(
 # -- scaled-up variant of the headline run (wider NN, more data, longer
 #    schedule); used to push the learned-vs-classical margin further
 CONFIGS["synthetic64_xl"] = dict(train=dict(
+    steps_per_dispatch=4,
     model=flow(H=64, W=64, nflows=8, nsplit=3, couple_g=384, couple_d=8,
                prior_g=384, prior_d=8, act="ReLU"),
     test_coding=True,
@@ -372,6 +375,7 @@ CONFIGS["synthetic64_xl"] = dict(train=dict(
 #    native bfloat16 rate (params float32, coding stays bit-exact --
 #    models/layers.py DenseBlock docstring)
 CONFIGS["synthetic64_xl_bf16"] = dict(train=dict(
+    steps_per_dispatch=4,
     model=flow(H=64, W=64, nflows=8, nsplit=3, couple_g=384, couple_d=8,
                prior_g=384, prior_d=8, act="ReLU", dtype="bfloat16"),
     test_coding=True,

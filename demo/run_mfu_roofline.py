@@ -45,7 +45,8 @@ def build(growth_multiple=0, bf16=False, seed=0):
         np.round(rng.uniform(0, 1, (1, 64, 64, 3)) * 256).astype(np.float32)
         / 256.0
     )
-    params = model.init(jax.random.PRNGKey(0), x)
+    # jit the init: eager flax init pays one tunnel RT per op (minutes)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     return cfg, model, params
 
 
@@ -86,17 +87,39 @@ def main():
                      "growth_multiple": gm, **out})
         print(rows[-1])
 
-    a, b = rows[0]["train_step_time_ms"], rows[1]["train_step_time_ms"]
+    a = rows[0]["train_step_time_device_ms"]
+    b = rows[1]["train_step_time_device_ms"]
     out = {
-        "what": "r4 MFU roofline: repeated-window medians reconcile the "
-                "bench and roofline train-step numbers; growth_multiple "
-                "measures the framework's ceiling beyond the reference "
-                "model family's lane-starved growth convs "
-                "(results/mfu_roofline_r03.json interpretation)",
+        "what": "r4 MFU roofline, VALUE-FENCED (see interpretation): "
+                "scanned device-side step time is the MFU numerator; "
+                "growth_multiple measures the framework's ceiling beyond "
+                "the reference model family's lane-starved growth convs",
         "hardware": jax.devices()[0].device_kind,
         "batch": args.batch,
         "session_agreement_pct": round(100.0 * abs(a - b) / min(a, b), 1),
         "rows": rows,
+        "interpretation": [
+            "r3's '17.9 ms / 68% MFU' roofline (results/"
+            "mfu_roofline_r03.json) was a measurement artifact: its "
+            "windows were fenced with jax.block_until_ready, which can "
+            "return before remote execution completes on this tunnel "
+            "runtime.  The tell: the same methodology timed a 20.7-TFLOP "
+            "lane-padded variant at 5.6x the chip's physical bf16 peak.  "
+            "Value-fenced timing (float(loss)) of the identical flagship "
+            "program gives ~45-48 ms/step host-observed -- exactly what "
+            "BENCH_r03 recorded; the bench was right and the roofline "
+            "was wrong, the reverse of VERDICT r3's reading.",
+            "Two honest numbers now: host-observed per-step time "
+            "(single-step dispatch loop; includes ~16 ms/dispatch of "
+            "tunnel host overhead) and device-scanned time (10 steps "
+            "inside one lax.scan program, one dispatch per window) -- "
+            "the scanned number is pure device compute and is the MFU "
+            "numerator.  The scanned path is also shipped as the "
+            "trainer fast path (Trainer steps_per_dispatch).",
+            "FLOPs are XLA cost-analysis counts cross-checked against "
+            "an analytic conv-MAC hand count (flagship: 2.40e12 vs "
+            "2.47e12 analytic; growth_multiple=128: 20.7e12 vs 21.4e12).",
+        ],
     }
     path = os.path.join(ROOT, args.out)
     with open(path, "w") as f:

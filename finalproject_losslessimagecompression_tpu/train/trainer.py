@@ -98,6 +98,48 @@ def make_train_step(model: IDFlow, optimizer, conditional: bool = False,
     return train_step, eval_step
 
 
+def make_multi_train_step(model: IDFlow, optimizer, length: int,
+                          conditional: bool = False):
+    """`length` train steps inside ONE compiled program (lax.scan over the
+    step body), consuming a stacked [length, B, H, W, C] super-batch --
+    one host dispatch per `length` steps.
+
+    On high-dispatch-latency runtimes (remote tunnels: ~16 ms per dispatch
+    measured, a third of the flagship step) this is both the
+    throughput-optimal way to train between log points and the only honest
+    way to TIME the step: host-observed per-step wall clock conflates
+    dispatch cost with compute, and jax.block_until_ready has been observed
+    to return early through the tunnel (see CLAUDE.md) -- a scanned
+    program timed with a value fetch amortizes one dispatch over `length`
+    real steps.  Returns (params, opt_state, losses[length])."""
+    cfg = model.cfg
+
+    def loss_fn(params, batch, cond=None):
+        if conditional:
+            latents, means, logscales = model.apply(params, batch, cond)
+        else:
+            latents, means, logscales = model.apply(params, batch)
+        lp, _ = log_likelihood(cfg, latents, means, logscales)
+        return -jnp.mean(lp)
+
+    import optax
+
+    def body(carry, xs):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params, xs)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def multi(params, opt_state, batches):
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), batches, length=length
+        )
+        return params, opt_state, losses
+
+    return jax.jit(multi, donate_argnums=(0, 1))
+
+
 def make_forward(model: IDFlow, conditional: bool = False):
     @jax.jit
     def forward(params, batch, cond=None):
@@ -131,6 +173,7 @@ class Trainer:
         max_eval_batches: int = 0,
         use_mesh: bool = False,
         log_every: int = 1,
+        steps_per_dispatch: int = 1,
     ):
         model = dict(model)
         self.load_path = model.pop("load_path", None)
@@ -149,6 +192,24 @@ class Trainer:
         self.num_streams = num_streams
         self.max_eval_batches = max_eval_batches
         self.log_every = max(1, log_every)
+        # steps_per_dispatch > 1: run K steps per host dispatch through a
+        # lax.scan'd program (make_multi_train_step) -- on remote-tunnel
+        # runtimes each dispatch costs ~a tunnel RT of host work, a third
+        # of the flagship step, so K amortizes it.  All K losses still
+        # reach the metrics log (the scan returns them; one fetch per
+        # block).  Intervals must align with the block size.
+        self.steps_per_dispatch = max(1, steps_per_dispatch)
+        if self.steps_per_dispatch > 1:
+            for name, iv in (
+                ("evaluate_interval", evaluate_interval),
+                ("save_interval", save_interval),
+                ("step_per_epoch", step_per_epoch),
+            ):
+                if iv % self.steps_per_dispatch:
+                    raise ValueError(
+                        f"{name}={iv} must be a multiple of "
+                        f"steps_per_dispatch={self.steps_per_dispatch}"
+                    )
         self.step = 0
 
         init_x = jnp.zeros(
@@ -168,6 +229,11 @@ class Trainer:
         self.train_step, self.eval_step = make_train_step(
             self.model, self.optimizer, mesh=mesh
         )
+        self.multi_step = None
+        if self.steps_per_dispatch > 1 and mesh is None:
+            self.multi_step = make_multi_train_step(
+                self.model, self.optimizer, self.steps_per_dispatch
+            )
         self.forward = make_forward(self.model)
         self.codec = FlowCodec(self.model, num_streams=self.num_streams)
         self.sharded_codec = None
@@ -303,53 +369,103 @@ class Trainer:
         flops = None
         peak = device_peak_tflops()
         last_sync = None
+        K = self.steps_per_dispatch if self.multi_step is not None else 1
         while self.step < self.max_step:
-            self.step += 1
-            batch = jnp.asarray(next(self.trainloader))
-            if flops is None:
-                # FLOPs/step from XLA's cost model (once; logged with the
-                # achieved-TFLOP/s rate below).  Uses abstract args, so the
-                # donated params/opt_state buffers are never touched.
-                flops = compiled_flops(
-                    self.train_step, self.params, self.opt_state, batch
-                ) or 0.0
-                if flops:
-                    self.writer.add_scalar("flops per step", flops, 0)
-            self.params, self.opt_state, loss, aux = self.train_step(
-                self.params, self.opt_state, batch
-            )
-            if self.step % self.log_every == 0:
-                # reading the loss forces a host sync; log_every > 1 keeps
-                # the device pipeline hot on high-latency runtimes
-                bpd = float(loss) / log
-                self.writer.add_scalar("train loss", float(loss), self.step)
-                self.writer.add_scalar("train bpd", bpd, self.step)
-                now = time.time()
-                if last_sync is not None:
-                    step_s = (now - last_sync) / self.log_every
-                    self.writer.add_scalar("step time s", step_s, self.step)
+            if K > 1:
+                # K steps per dispatch: one scanned program consumes a
+                # stacked super-batch; ALL K losses come back in one fetch
+                batches = jnp.asarray(np.stack(
+                    [np.asarray(next(self.trainloader)) for _ in range(K)]
+                ))
+                if flops is None:
+                    flops = (compiled_flops(
+                        self.multi_step, self.params, self.opt_state,
+                        batches,
+                    ) or 0.0) / K
                     if flops:
-                        tf = flops / step_s / 1e12
-                        self.writer.add_scalar("achieved tflops", tf,
-                                               self.step)
-                        if peak:
+                        self.writer.add_scalar("flops per step", flops, 0)
+                self.params, self.opt_state, losses = self.multi_step(
+                    self.params, self.opt_state, batches
+                )
+                self.step += K
+                aux = None
+                if (self.step // K) % max(1, self.log_every // K) == 0:
+                    ls = np.asarray(losses)  # ONE sync for K losses
+                    for j, lv in enumerate(ls):
+                        s = self.step - K + 1 + j
+                        self.writer.add_scalar("train loss", float(lv), s)
+                        self.writer.add_scalar(
+                            "train bpd", float(lv) / log, s
+                        )
+                    now = time.time()
+                    if last_sync is not None:
+                        step_s = (now - last_sync) / max(K, self.log_every)
+                        self.writer.add_scalar(
+                            "step time s", step_s, self.step
+                        )
+                        if flops and step_s > 0:
+                            tf = flops / step_s / 1e12
                             self.writer.add_scalar(
-                                "mfu pct", 100.0 * tf / peak, self.step
+                                "achieved tflops", tf, self.step
                             )
-                last_sync = now
+                            if peak:
+                                self.writer.add_scalar(
+                                    "mfu pct", 100.0 * tf / peak, self.step
+                                )
+                    last_sync = now
+            else:
+                self.step += 1
+                batch = jnp.asarray(next(self.trainloader))
+                if flops is None:
+                    # FLOPs/step from XLA's cost model (once; logged with
+                    # the achieved-TFLOP/s rate below).  Uses abstract
+                    # args, so donated buffers are never touched.
+                    flops = compiled_flops(
+                        self.train_step, self.params, self.opt_state, batch
+                    ) or 0.0
+                    if flops:
+                        self.writer.add_scalar("flops per step", flops, 0)
+                self.params, self.opt_state, loss, aux = self.train_step(
+                    self.params, self.opt_state, batch
+                )
+                if self.step % self.log_every == 0:
+                    # reading the loss forces a host sync; log_every > 1
+                    # keeps the device pipeline hot on high-latency
+                    # runtimes
+                    bpd = float(loss) / log
+                    self.writer.add_scalar(
+                        "train loss", float(loss), self.step
+                    )
+                    self.writer.add_scalar("train bpd", bpd, self.step)
+                    now = time.time()
+                    if last_sync is not None:
+                        step_s = (now - last_sync) / self.log_every
+                        self.writer.add_scalar(
+                            "step time s", step_s, self.step
+                        )
+                        if flops:
+                            tf = flops / step_s / 1e12
+                            self.writer.add_scalar("achieved tflops", tf,
+                                                   self.step)
+                            if peak:
+                                self.writer.add_scalar(
+                                    "mfu pct", 100.0 * tf / peak, self.step
+                                )
+                    last_sync = now
 
             if self._at_interval(self.evaluate_interval):
-                for i, (mx, mn, sb) in enumerate(
-                    zip(
-                        np.asarray(aux["max_z"]),
-                        np.asarray(aux["min_z"]),
-                        np.asarray(aux["per_split_bpd"]),
-                    )
-                ):
-                    print(
-                        f"split_id: {i} , max_z : {mx} , min_z : {mn} , "
-                        f"bpd_for_split : {sb}"
-                    )
+                if aux is not None:  # scanned blocks carry losses only
+                    for i, (mx, mn, sb) in enumerate(
+                        zip(
+                            np.asarray(aux["max_z"]),
+                            np.asarray(aux["min_z"]),
+                            np.asarray(aux["per_split_bpd"]),
+                        )
+                    ):
+                        print(
+                            f"split_id: {i} , max_z : {mx} , min_z : {mn} "
+                            f", bpd_for_split : {sb}"
+                        )
                 ev = self.evaluate()
                 self.writer.add_scalar("test bpd", ev["test_bpd"], self.step)
                 if self.test_coding:

@@ -162,6 +162,45 @@ class TestTrainer:
         assert np.isfinite(ev["real_bpd"])
         assert ev["real_bpd"] >= ev["test_bpd"]  # includes overhead
 
+    def test_steps_per_dispatch_scan(self, tmp_path):
+        """steps_per_dispatch > 1 trains K steps per host dispatch via the
+        lax.scan'd program; every step's loss still reaches the metrics
+        log and training still converges."""
+        import json
+
+        from finalproject_losslessimagecompression_tpu.cli.train import (
+            build_trainer,
+        )
+
+        cfg = tiny_train_config(tmp_path, max_step=8)
+        cfg["train"]["steps_per_dispatch"] = 2
+        t = build_trainer(cfg)
+        batch = jnp.asarray(next(t.trainloader))
+        loss0, _ = t.eval_step(t.params, batch)
+        t.train()
+        loss1, _ = t.eval_step(t.params, batch)
+        assert t.step == 8
+        assert float(loss1) < float(loss0)
+        steps = []
+        with open(os.path.join(str(tmp_path / "logs"),
+                               "metrics.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec["tag"] == "train bpd":
+                    steps.append(rec["step"])
+        assert steps == list(range(1, 9)), steps  # every step logged
+
+    def test_steps_per_dispatch_misaligned_interval_rejected(self,
+                                                             tmp_path):
+        from finalproject_losslessimagecompression_tpu.cli.train import (
+            build_trainer,
+        )
+
+        cfg = tiny_train_config(tmp_path, max_step=8)
+        cfg["train"]["steps_per_dispatch"] = 3  # step_per_epoch=2 not /3
+        with pytest.raises(ValueError, match="steps_per_dispatch"):
+            build_trainer(cfg)
+
     def test_sample_images(self, tmp_path):
         from finalproject_losslessimagecompression_tpu.cli.train import (
             build_trainer,
