@@ -23,7 +23,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def build(growth_multiple=0, bf16=False, seed=0):
+def build(growth_multiple=0, bf16=False, seed=0, fuse=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -36,7 +36,8 @@ def build(growth_multiple=0, bf16=False, seed=0):
     )
 
     dt = "bfloat16" if bf16 else "float32"
-    nn = DenseBlockCfg(512, 12, "ReLU", dt, growth_multiple=growth_multiple)
+    nn = DenseBlockCfg(512, 12, "ReLU", dt, fuse_1x1=fuse,
+                       growth_multiple=growth_multiple)
     cfg = FlowCfg(H=64, W=64, C=3, nflows=8, nsplit=3,
                   couple=CouplingCfg(0.75, nn), prior_nn=nn)
     model = IDFlow(cfg)
@@ -75,6 +76,20 @@ def main():
         out = bench_train_mfu(cfg, model, params, args.batch)
         rows.append({"variant": f"flagship_parity_session_{session}",
                      "growth_multiple": 0, **out})
+        print(rows[-1])
+
+    # the r3 matrix remeasured with trustworthy fences: fuse_1x1 and
+    # bf16 conclusions from r3 were taken under the broken
+    # block_until_ready fence and must be re-decided from these rows
+    for variant, kw in (
+        ("flagship_fused", dict(fuse=True)),
+        ("flagship_bf16", dict(bf16=True)),
+        ("flagship_fused_bf16", dict(fuse=True, bf16=True)),
+    ):
+        cfg, model, params = build(0, **kw)
+        out = bench_train_mfu(cfg, model, params, args.batch)
+        rows.append({"variant": variant, "growth_multiple": 0, **kw,
+                     **out})
         print(rows[-1])
 
     # lane-padded growth (opt-in, NON-parity): per-layer growth 43 -> 128
@@ -118,7 +133,21 @@ def main():
             "trainer fast path (Trainer steps_per_dispatch).",
             "FLOPs are XLA cost-analysis counts cross-checked against "
             "an analytic conv-MAC hand count (flagship: 2.40e12 vs "
-            "2.47e12 analytic; growth_multiple=128: 20.7e12 vs 21.4e12).",
+            "2.47e12 analytic; growth_multiple=128: 20.7e12 vs 21.4e12). "
+            "Note XLA's cost analysis counts a lax.scan body ONCE, so "
+            "the single-step program's count is the per-step numerator.",
+            "Consequences of the remeasurement: fuse_1x1 is ~8% FASTER "
+            "(43.0 vs 46.6 ms/step), reversing r3's broken-fence "
+            "conclusion -- the default is now fused, consistently in "
+            "the dataclass and from_ref, with the checkpoint layout "
+            "adapter and fingerprint making the variant switch safe.  "
+            "bf16 casts remain neutral (default matmul precision "
+            "already multiplies in bf16).  The parity model family "
+            "sustains ~26% MFU; the SAME framework sustains 54% once "
+            "growth is lane-padded (growth_multiple=128, opt-in "
+            "non-parity) -- the ceiling is the reference architecture's "
+            "lane-starved growth convs plus DenseNet concat HBM "
+            "traffic, not the compute path.",
         ],
     }
     path = os.path.join(ROOT, args.out)

@@ -27,14 +27,16 @@ class DenseBlockCfg:
     # models/exact.py); the airtight granularity="nn" mode is unaffected.
     dtype: str = "float32"
     # fold each layer's 1x1 conv into its 3x3 (exact composition in weight
-    # space; see DenseLayer) -- removes ~45% of the block's MACs.  MEASURED
-    # SLOWER on v5e at flagship scale (results/mfu_roofline_r03.json:
-    # 20.2ms vs 17.9ms/step despite 1.32 vs 2.40 TFLOP): the 1x1 is a
-    # full-lane MXU matmul while the lane-starved 3x3 (growth ~43 < 128
-    # output lanes) bounds the step either way, so removing the 1x1's
-    # FLOPs removes cheap work and adds per-layer weight-contraction
-    # overhead.  Kept as an option; default off.
-    fuse_1x1: bool = False
+    # space; see DenseLayer) -- removes ~45% of the block's MACs and the
+    # C-channel HBM intermediate.  MEASURED FASTER on v5e at flagship
+    # scale under value-fenced timing (results/mfu_roofline_r04.json:
+    # 43.0 vs 46.6 ms/step, ~8%; r3's opposite conclusion was taken under
+    # a broken block_until_ready fence and is invalid).  Default ON,
+    # consistently here and in from_ref; checkpoints from either variant
+    # load into either (train/checkpoint.py:adapt_state_dict) and the
+    # .lic fingerprint covers the flag (cli/codec.py), so the default is
+    # safe to hold or change without breaking artifacts.
+    fuse_1x1: bool = True
     # opt-in, NON-PARITY: round each layer's growth up to a multiple of
     # this (e.g. 128 = the VPU/MXU lane count).  The reference split
     # (growth_channel/depth ~ 43 lanes at flagship scale) starves the
@@ -56,15 +58,14 @@ class DenseBlockCfg:
             depth=cfg.pop("depth", 8),
             act=act,
             dtype=cfg.pop("dtype", "float32"),
-            # default matches the dataclass and the measured decision
-            # (results/mfu_roofline_r03.json: fused 20.2ms vs unfused
-            # 17.9ms/step at flagship scale -- fusion removes cheap
-            # full-lane 1x1 MACs while the lane-starved 3x3 stays the
-            # bottleneck).  The two variants have structurally different
-            # param trees; train/checkpoint.py adapts either layout on
-            # load, and the .lic fingerprint covers the flag so containers
-            # can never silently cross variants (cli/codec.py).
-            fuse_1x1=cfg.pop("fuse_1x1", False),
+            # default matches the dataclass and the value-fenced
+            # measurement (results/mfu_roofline_r04.json: fused 43.0 vs
+            # unfused 46.6 ms/step at flagship scale).  The two variants
+            # have structurally different param trees; train/checkpoint.py
+            # adapts either layout on load, and the .lic fingerprint
+            # covers the flag so containers can never silently cross
+            # variants (cli/codec.py).
+            fuse_1x1=cfg.pop("fuse_1x1", True),
             growth_multiple=cfg.pop("growth_multiple", 0),
         )
 

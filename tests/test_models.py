@@ -480,17 +480,20 @@ class TestDenseLayerFusion:
         if flops[True] and flops[False]:
             assert flops[True] < 0.8 * flops[False], flops
 
-    def test_from_ref_defaults_unfused(self):
-        """YAML-built blocks must default to the measured-faster unfused
-        variant (results/mfu_roofline_r03.json: 17.9 vs 20.2 ms/step at
-        flagship scale) -- matching the dataclass default."""
+    def test_from_ref_default_matches_dataclass(self):
+        """The dataclass and YAML defaults must AGREE (r3's bug was the
+        silent divergence), and both select the measured-faster variant
+        under value-fenced timing (results/mfu_roofline_r04.json: fused
+        43.0 vs unfused 46.6 ms/step at flagship scale)."""
         from finalproject_losslessimagecompression_tpu.models.config import (
             DenseBlockCfg,
         )
 
-        assert DenseBlockCfg().fuse_1x1 is False
-        assert DenseBlockCfg.from_ref({}).fuse_1x1 is False
-        assert DenseBlockCfg.from_ref({"fuse_1x1": True}).fuse_1x1 is True
+        assert DenseBlockCfg().fuse_1x1 is DenseBlockCfg.from_ref(
+            {}
+        ).fuse_1x1
+        assert DenseBlockCfg().fuse_1x1 is True
+        assert DenseBlockCfg.from_ref({"fuse_1x1": False}).fuse_1x1 is False
 
     def test_growth_multiple_pads_layer_widths(self):
         """Opt-in non-parity knob: per-layer growth rounds up to the lane
@@ -505,7 +508,8 @@ class TestDenseLayerFusion:
         )
 
         x = jnp.zeros((1, 4, 4, 6), jnp.float32)
-        cfg = DenseBlockCfg(growth_channel=10, depth=3, growth_multiple=8)
+        cfg = DenseBlockCfg(growth_channel=10, depth=3, growth_multiple=8,
+                            fuse_1x1=False)
         m = DenseBlock(4, cfg)
         p = m.init(jax.random.PRNGKey(0), x)
         widths = [
