@@ -73,27 +73,36 @@ _TWO_PHASE_BYTES = 1 << 20
 def pack_streams_many(encs) -> list:
     """Serialize several encodes with minimal host transfers.
 
-    Small queues: ONE device fetch for everything, but of an OPTIMISTIC
-    PREFIX of each word buffer (12 bits/symbol of payload + chain slack),
-    not the full worst-case capacity (32 bits/symbol): buffers are
-    allocated at k*S words but a typical message codes ~bpd/32 of that,
-    so the bound cuts the blocking transfer ~2.7x while anything below
-    12 bpd still packs in one round trip (the worst realistic case -- an
-    UNTRAINED prior on uniform noise -- codes ~10.2-10.9 bits/symbol,
-    BENCH_r03 real_bpd; only adversarial content beyond that pays a
-    second fetch for the tail).  This is what single-image latency is
-    made of on remote-tunnel runtimes (VERDICT r3 item 7).  Large
-    queues: a scalar fetch for (states, num_words) first, then one fetch
-    of only the USED prefix of each word buffer -- the second round trip
+    Small queues: ONE device fetch for everything, of an OPTIMISTIC
+    PREFIX of each word buffer (12 bits/symbol of payload + chain slack)
+    instead of the full worst-case capacity (32 bits/symbol) -- but only
+    when the transfer saved exceeds the cost of the slice dispatch (see
+    _prefix).  Anything below 12 bpd still packs in one round trip (the
+    worst realistic case -- an UNTRAINED prior on uniform noise -- codes
+    ~10.2-10.9 bits/symbol, BENCH_r03 real_bpd; only adversarial content
+    beyond that pays a second fetch for the tail).  Large queues: a
+    scalar fetch for (states, num_words) first, then one fetch of only
+    the USED prefix of each word buffer -- the second round trip
     amortizes over the queue."""
     total_cap = sum(int(np.prod(np.shape(e.words))) * 4 for e in encs)
     if total_cap <= _TWO_PHASE_BYTES:
-        def _bound(e):
+        def _prefix(e):
             cap = int(np.prod(np.shape(e.words)))
-            return min(cap, -(-int(e.n) * 12 // 32) + 5 * e.num_streams + 8)
+            bound = min(
+                cap, -(-int(e.n) * 12 // 32) + 5 * e.num_streams + 8
+            )
+            # the slice is an extra device op (an eager dispatch, ~ms,
+            # plus a one-time per-shape compile); at the measured ~100
+            # MB/s tunnel bandwidth it only pays for itself when it
+            # saves >~256 KB of transfer -- below that, fetch the full
+            # buffer with zero added dispatches (single-image latency:
+            # 3 containers x ~13 KB saved is NOT worth 3 dispatches)
+            if (cap - bound) * 4 < (1 << 18):
+                return e.words
+            return e.words[:bound]
 
         opt = jax.device_get(
-            [(e.state_hi, e.state_lo, e.words[: _bound(e)], e.num_words,
+            [(e.state_hi, e.state_lo, _prefix(e), e.num_words,
               e.oow_count)
              for e in encs]
         )

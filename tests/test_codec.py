@@ -145,13 +145,17 @@ class TestInterleaved:
     def test_pack_optimistic_prefix_overflow(self, rng):
         """Symbols pinned to the window's far-tail bin cost ~24 bits each,
         beyond pack's 12-bit optimistic single-fetch bound -- the pack
-        path must fall back to fetching the tail and still round-trip
-        bit-exactly (container.pack_streams_many)."""
-        n = 2048
+        path must take the sliced-prefix branch (the saving must exceed
+        the 256 KB dispatch-worthiness floor), fall back to fetching the
+        tail, and still round-trip bit-exactly (pack_streams_many)."""
+        n = 200_000  # cap - bound > 64k words: the prefix branch engages
         means = np.zeros(n, np.float32)
         scales = np.full(n, np.exp(-4.0), np.float32)
         v = lower_bin(means).astype(np.int32)  # far tail for every symbol
-        enc = interleaved_encode(v, means, scales, num_streams=32)
+        enc = interleaved_encode(v, means, scales, num_streams=64)
+        cap = int(np.prod(np.shape(enc.words)))
+        bound = -(-n * 12 // 32) + 5 * enc.num_streams + 8
+        assert (cap - bound) * 4 >= (1 << 18)  # prefix branch really taken
         blob = pack_streams(enc)
         # the message really exceeded the bound (else this tests nothing)
         assert len(blob) > (n * 12) // 8
