@@ -548,6 +548,11 @@ def main():
         # architecture's latency floor on this runtime
         "tunnel_rt_ms": round(tunnel_rt_s * 1e3, 2),
         "latency_floor_ms": round(2 * tunnel_rt_s * 1e3, 2),
+        # the 2-RT floor counts only the two blocking fetches; each
+        # direction also pays its dispatch SEND (~0.5 RT) before the
+        # device can start, so the realistic architecture floor is ~3 RT
+        # -- measured latency sits at floor + ~0.8 RT across sessions
+        "latency_floor_3rt_ms": round(3 * tunnel_rt_s * 1e3, 2),
         "native_single_image_ms": (
             round(native_img_latency * 1e3, 2) if base else None
         ),

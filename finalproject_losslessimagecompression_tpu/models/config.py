@@ -40,10 +40,11 @@ class DenseBlockCfg:
     # opt-in, NON-PARITY: round each layer's growth up to a multiple of
     # this (e.g. 128 = the VPU/MXU lane count).  The reference split
     # (growth_channel/depth ~ 43 lanes at flagship scale) starves the
-    # 3x3 convs' output lanes, which the r3 roofline identified as the
-    # MFU ceiling (results/mfu_roofline_r03.json); padding the growth
-    # turns them into full-lane matmuls at the cost of more params/FLOPs.
-    # 0 = off (reference parity, every shipped config).
+    # 3x3 convs' output lanes -- the parity family sustains ~26% MFU
+    # while the lane-padded variant sustains 54% in the same framework
+    # (value-fenced, results/mfu_roofline_r04.json); padding the growth
+    # turns the convs into full-lane matmuls at the cost of more
+    # params/FLOPs.  0 = off (reference parity, every shipped config).
     growth_multiple: int = 0
 
     @classmethod
