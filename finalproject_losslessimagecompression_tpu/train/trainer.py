@@ -99,7 +99,7 @@ def make_train_step(model: IDFlow, optimizer, conditional: bool = False,
 
 
 def make_multi_train_step(model: IDFlow, optimizer, length: int,
-                          conditional: bool = False):
+                          conditional: bool = False, mesh=None):
     """`length` train steps inside ONE compiled program (lax.scan over the
     step body), consuming a stacked [length, B, H, W, C] super-batch --
     one host dispatch per `length` steps.
@@ -137,7 +137,24 @@ def make_multi_train_step(model: IDFlow, optimizer, length: int,
         )
         return params, opt_state, losses
 
-    return jax.jit(multi, donate_argnums=(0, 1))
+    if mesh is None:
+        return jax.jit(multi, donate_argnums=(0, 1))
+    # SPMD: params/opt state replicated; the super-batch shards its BATCH
+    # axis (dim 1 -- dim 0 is the scan/step axis) over the whole mesh, so
+    # every scanned step runs the same data-parallel layout as the
+    # single-step sharded program (XLA inserts the per-step grad psum)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharding import replicate
+
+    repl = replicate(mesh)
+    bsh = NamedSharding(mesh, P(None, ("data", "tile")))
+    return jax.jit(
+        multi,
+        in_shardings=(repl, repl, bsh),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
 
 
 def make_forward(model: IDFlow, conditional: bool = False):
@@ -230,9 +247,10 @@ class Trainer:
             self.model, self.optimizer, mesh=mesh
         )
         self.multi_step = None
-        if self.steps_per_dispatch > 1 and mesh is None:
+        if self.steps_per_dispatch > 1:
             self.multi_step = make_multi_train_step(
-                self.model, self.optimizer, self.steps_per_dispatch
+                self.model, self.optimizer, self.steps_per_dispatch,
+                mesh=mesh,
             )
         self.forward = make_forward(self.model)
         self.codec = FlowCodec(self.model, num_streams=self.num_streams)

@@ -100,6 +100,44 @@ class TestShardedTrainer:
         assert t.mesh is not None
         t.train()
 
+    def test_use_mesh_steps_per_dispatch(self, tmp_path):
+        """K steps per dispatch under a mesh: the scanned program shards
+        the super-batch's batch axis (dim 1) over the whole mesh with
+        replicated params; every step's loss still reaches the log."""
+        import json
+
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_training import tiny_train_config
+
+        from finalproject_losslessimagecompression_tpu.cli.train import (
+            build_trainer,
+        )
+
+        cfg = tiny_train_config(tmp_path, max_step=4)
+        cfg["train"]["use_mesh"] = True
+        cfg["train"]["steps_per_dispatch"] = 2
+        cfg["train"]["log_every"] = 2
+        cfg["train"]["train_dataloader"]["batch_size"] = 8
+        cfg["train"]["test_dataloader"]["batch_size"] = 8
+        t = build_trainer(cfg)
+        assert t.mesh is not None and t.multi_step is not None
+        t.train()
+        assert t.step == 4
+        steps = []
+        with open(os.path.join(str(tmp_path / "logs"),
+                               "metrics.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec["tag"] == "train bpd":
+                    steps.append(rec["step"])
+        assert steps == [1, 2, 3, 4], steps
+
 
 class TestVisualize:
     def test_sample_and_interpolate(self, tmp_path):
