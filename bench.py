@@ -27,20 +27,16 @@ import numpy as np
 
 
 def _fence(x):
-    """Trustworthy device sync: fetch one element's VALUE.  On the tunnel
-    runtime jax.block_until_ready can return before remote execution
-    completes (the r3 roofline artifact -- see bench_train_mfu); a value
-    fetch cannot, because the bytes must exist to be returned.
+    """The repo's canonical value fence (see utils/profiling.value_fence):
+    jax.block_until_ready can return before remote execution completes on
+    the tunnel runtime, so every timed region here syncs by fetching one
+    element's VALUE.  Warm it on same-shaped data before any timed region
+    (its eager ravel/slice pays a one-time per-shape remote compile)."""
+    from finalproject_losslessimagecompression_tpu.utils.profiling import (
+        value_fence,
+    )
 
-    CAVEAT: the ravel/slice here are eager ops that pay a one-time
-    per-shape REMOTE COMPILE (seconds) on first use -- call _fence once
-    on same-shaped data BEFORE any timed region (every timing loop below
-    does), or the first window absorbs a compile."""
-    import jax
-    import jax.numpy as jnp
-
-    leaves = jax.tree_util.tree_leaves(x)
-    return jax.device_get(jnp.ravel(leaves[-1])[:1])
+    return value_fence(x)
 
 
 def build_model(quick: bool, seed: int = 0, bf16: bool = False):

@@ -63,6 +63,13 @@ import numpy as np
 import yaml
 
 _MAGIC = b"LIC1"
+# Flow-container format version.  v2 (round 4) added the per-chunk header
+# and folded the compute-variant tag into the fingerprint -- r3-vintage
+# files are structurally unreadable, so readers must say "older format"
+# rather than the misleading "fingerprint mismatch" (r4 advisor finding).
+# Stored-escape containers are format-stable since v1 and carry no
+# version requirement.
+_FORMAT_VERSION = 2
 
 
 class _PlainPipeline:
@@ -414,6 +421,7 @@ def _write_lic(pipe, out_path, file_packed, orig, in_path, arr=None):
     `file_packed`: [(segments, info)] per tile chunk of this file."""
     segments = [b for segs, _ in file_packed for b in segs]
     flow = _container_bytes({
+        "v": _FORMAT_VERSION,
         "orig": list(orig),
         "nbits": pipe.nbits,
         "pipeline": pipe.name,
@@ -510,6 +518,14 @@ def _read_lic(pipe, in_path):
         raise SystemExit(f"{in_path}: corrupt header (orig shape)")
     mode = header.get("mode", "flow")
     if mode == "flow":
+        ver = header.get("v", 1)
+        if ver != _FORMAT_VERSION:
+            rel = "an older" if ver < _FORMAT_VERSION else "a newer"
+            raise SystemExit(
+                f"{in_path}: flow container format v{ver} was written by "
+                f"{rel} version of this tool (this build reads "
+                f"v{_FORMAT_VERSION}); re-compress the source image"
+            )
         if header.get("fingerprint") != pipe.fingerprint:
             raise SystemExit(
                 f"{in_path}: was written by a different model/checkpoint "
@@ -537,7 +553,10 @@ def _read_lic(pipe, in_path):
         and all(
             isinstance(c, dict)
             and isinstance(c.get("nseg"), int)
-            and c["nseg"] >= 0
+            # >= 1: a zero-nseg chunk would hand an empty segment list to
+            # decompress_many -> raw traceback, not the loud SystemExit
+            # every other corruption path raises (r4 advisor finding)
+            and c["nseg"] >= 1
             and isinstance(c.get("info", {}), dict)
             for c in chunks
         )

@@ -66,12 +66,16 @@ def measure_scaling(
         opt_state = opt.init(params)
         step = make_sharded_train_step(model, opt, mesh)
         with mesh:
+            from ..utils.profiling import value_fence
+
             params, opt_state, loss = step(params, opt_state, x)  # compile
-            jax.block_until_ready(loss)
+            value_fence(loss)  # also warms the fence's eager ops
             t0 = time.time()
             for _ in range(steps):
                 params, opt_state, loss = step(params, opt_state, x)
-            jax.block_until_ready(loss)
+            # value fence: trustworthy on every runtime incl. the tunnel
+            # (block_until_ready is not -- utils/profiling.value_fence)
+            value_fence(loss)
             dt = (time.time() - t0) / steps
         ips = B / dt
         if base is None:

@@ -221,6 +221,8 @@ class Trainer:
                 ("evaluate_interval", evaluate_interval),
                 ("save_interval", save_interval),
                 ("step_per_epoch", step_per_epoch),
+                # without this the loop overshoots max_step by up to K-1
+                ("max_step", max_step),
             ):
                 if iv % self.steps_per_dispatch:
                     raise ValueError(
@@ -236,6 +238,18 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.params)
         if self.load_path:
             self.restore(self.load_path)
+            K = self.steps_per_dispatch
+            if K > 1 and self.step % K:
+                # a resumed step not congruent 0 mod K would shift every
+                # interval check (all multiples of K) off-phase -- no
+                # periodic eval/save would ever fire again.  Realign DOWN
+                # (re-runs up to K-1 training steps; harmless).
+                old = self.step
+                self.step -= self.step % K
+                print(
+                    f"resume: step {old} realigned to {self.step} "
+                    f"(steps_per_dispatch={K} blocks)"
+                )
 
         mesh = None
         if use_mesh and len(jax.devices()) > 1:
@@ -282,17 +296,26 @@ class Trainer:
     # -- eval -------------------------------------------------------------
 
     def evaluate(self):
-        from ..utils.profiling import PhaseTimer
+        from ..utils.profiling import PhaseTimer, value_fence
 
         timer = PhaseTimer()
         bpds, real_bpds, errors = [], [], 0
         n_batches = 0
+        fence_warm = False
         for batch in iter(self.testloader):
             batch = jnp.asarray(batch)
+            if not fence_warm:
+                # warm the compiled program AND the fence's eager ops
+                # outside the timed phase (both pay one-time compiles)
+                value_fence(self.eval_step(self.params, batch)[0])
+                fence_warm = True
             with timer.phase("forward"):
                 loss, aux = self.eval_step(self.params, batch)
-                loss.block_until_ready()
-            bpds.append(float(loss) / math.log(2.0))
+                # value fence: block_until_ready returns early on the
+                # tunnel runtime (docs/DESIGN.md section 7); only a value
+                # fetch is a trustworthy fence for the logged forward_time
+                loss_v = float(value_fence(loss)[0])
+            bpds.append(loss_v / math.log(2.0))
             if self.test_coding:
                 # over a mesh, eval coding runs the chip-local sharded
                 # pipeline (each device codes its own batch shard; streams
@@ -396,10 +419,17 @@ class Trainer:
                     [np.asarray(next(self.trainloader)) for _ in range(K)]
                 ))
                 if flops is None:
-                    flops = (compiled_flops(
-                        self.multi_step, self.params, self.opt_state,
-                        batches,
-                    ) or 0.0) / K
+                    # per-step FLOPs from the SINGLE-step program: XLA's
+                    # cost analysis counts a lax.scan body ONCE (trip
+                    # count is not folded in at the HLO level), so the
+                    # scanned program's count is already ~per-step --
+                    # dividing it by K under-reported MFU by ~K (r4
+                    # advisor finding; bench.py bench_train_mfu applies
+                    # the same rule)
+                    flops = compiled_flops(
+                        self.train_step, self.params, self.opt_state,
+                        batches[0],
+                    ) or 0.0
                     if flops:
                         self.writer.add_scalar("flops per step", flops, 0)
                 self.params, self.opt_state, losses = self.multi_step(
@@ -417,7 +447,12 @@ class Trainer:
                         )
                     now = time.time()
                     if last_sync is not None:
-                        step_s = (now - last_sync) / max(K, self.log_every)
+                        # actual sync period: logging fires every
+                        # max(1, log_every//K) blocks of K steps, which
+                        # is NOT log_every when log_every % K != 0
+                        # (r4 advisor finding)
+                        period = max(1, self.log_every // K) * K
+                        step_s = (now - last_sync) / period
                         self.writer.add_scalar(
                             "step time s", step_s, self.step
                         )

@@ -18,6 +18,27 @@ from collections import defaultdict
 from typing import Dict, Iterator
 
 
+def value_fence(x):
+    """Trustworthy device sync: fetch one element's VALUE from the last
+    leaf of `x`.  On the tunnel runtime `jax.block_until_ready` has been
+    observed to return before remote execution completes (the r3 roofline
+    artifact: a broken fence "timed" a 20.7-TFLOP program at 5.6x the
+    chip's physical peak); a value fetch cannot return early, because the
+    bytes must exist to be returned.  This is the ONE fence every timed
+    region in the repo must use (bench.py, Trainer.evaluate, the roofline
+    scripts).
+
+    CAVEAT: the ravel/slice here are eager ops that pay a one-time
+    per-shape REMOTE COMPILE (seconds) on first use -- call value_fence
+    once on same-shaped data BEFORE any timed region, or the first window
+    absorbs a compile."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(x)
+    return jax.device_get(jnp.ravel(leaves[-1])[:1])
+
+
 class PhaseTimer:
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
