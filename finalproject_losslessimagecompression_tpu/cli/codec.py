@@ -145,7 +145,11 @@ class _TwoLevelPipeline:
 
     def decompress_many(self, packed):
         cfg = self.codec.cfg
-        ntiles = (cfg.Hp // cfg.fine.H) * (cfg.Wp // cfg.fine.W)
+        # fine tile count over the codec's internal coded dims (== the
+        # config's padded dims for divisible geometries, further padded
+        # otherwise -- models/twolevel_codec.py)
+        ntiles = (self.codec.Hc // cfg.fine.H) * \
+            (self.codec.Wc // cfg.fine.W)
         recs = []
         for segs, info in packed:
             b = int(info["batch"])

@@ -8,34 +8,38 @@ tiles -> fine IDFlow + rANS.  Decode: rough first, then fine, then
 x = upsample(rough) + merge(fine patches), crop the padding.
 
 Exactness requires the upsample to preserve the 1/256 grid, which holds
-exactly when padded dims are divisible by the rough dims (the adaptive
+exactly when the coded dims are divisible by the rough dims (the adaptive
 "pool" transpose is then nearest-replication -- true for the reference's
-own config: 216/27 = 184/23... = 8).  Non-divisible ratios would average
-grid values off-grid and are rejected.
+own config: 216/27 = 184/23... = 8).  For any OTHER geometry the trainer
+accepts (the reference pools any ratio, flows.py:209-213), the codec pads
+FURTHER internally -- replication pad up to the smallest dims divisible by
+both the rough dims (grid-exact unpool) and the fine tile dims (exact
+tiling), coded, cropped on decode.  No side information: the internal
+geometry is a pure function of the model config.  The rough image then
+pools from a slightly larger padded field than the trainer's (extra
+replicated edge rows averaged in) -- a rate detail, never a correctness
+one, since the decoder reads the coded rough image from the stream.
 """
 
 from __future__ import annotations
 
+import math
 from typing import List, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 
-from ..ops.reshape import patch_merge
+from ..ops.reshape import patch_merge, patch_split
+from ..ops.rounding import round_to_grid
 from .exact import FlowCodec
 from .idflow import IDFlow
-from .twolevel import TwoLevelFlow
+from .twolevel import TwoLevelFlow, adaptive_pool_matrix
 
 
 class TwoLevelCodec:
     def __init__(self, model: TwoLevelFlow, num_streams: int = 4096,
                  granularity: str = "level"):
         cfg = model.cfg
-        if cfg.Hp % cfg.rough.H or cfg.Wp % cfg.rough.W:
-            raise NotImplementedError(
-                "two-level coding needs padded dims divisible by the rough "
-                "dims (grid-exact nearest upsampling); got "
-                f"{(cfg.Hp, cfg.Wp)} vs {(cfg.rough.H, cfg.rough.W)}"
-            )
         self.cfg = cfg
         self.model = model
         self.rough = IDFlow(cfg.rough)
@@ -43,11 +47,51 @@ class TwoLevelCodec:
         self.rough_codec = FlowCodec(self.rough, num_streams, granularity)
         self.fine_codec = FlowCodec(self.fine, num_streams, granularity)
 
-        def _split(params, x):
-            return model.apply(params, x, method=TwoLevelFlow.split_levels)
+        if cfg.Hp % cfg.rough.H or cfg.Wp % cfg.rough.W:
+            # non-divisible trainer geometry: code over internally padded
+            # dims (Hc, Wc) -- smallest multiples of lcm(rough, fine tile)
+            # covering the trainer's padded size, so pooling averages an
+            # integer window (grid-exact after round) and unpool is pure
+            # replication (exactly invertible residual arithmetic)
+            self.Hc = -(-cfg.Hp // math.lcm(cfg.rough.H, cfg.fine.H)) * \
+                math.lcm(cfg.rough.H, cfg.fine.H)
+            self.Wc = -(-cfg.Wp // math.lcm(cfg.rough.W, cfg.fine.W)) * \
+                math.lcm(cfg.rough.W, cfg.fine.W)
+        else:
+            self.Hc, self.Wc = cfg.Hp, cfg.Wp
 
-        def _unpool(params, rx):
-            return model.apply(params, rx, method=TwoLevelFlow.unpool)
+        if (self.Hc, self.Wc) == (cfg.Hp, cfg.Wp):
+            def _split(params, x):
+                return model.apply(
+                    params, x, method=TwoLevelFlow.split_levels
+                )
+
+            def _unpool(params, rx):
+                return model.apply(params, rx, method=TwoLevelFlow.unpool)
+        else:
+            ph = jnp.asarray(adaptive_pool_matrix(self.Hc, cfg.rough.H))
+            pw = jnp.asarray(adaptive_pool_matrix(self.Wc, cfg.rough.W))
+            uh = jnp.asarray(adaptive_pool_matrix(cfg.rough.H, self.Hc))
+            uw = jnp.asarray(adaptive_pool_matrix(cfg.rough.W, self.Wc))
+            eh, ew = self.Hc - cfg.H, self.Wc - cfg.W
+
+            def _up(rx):
+                # divisible ratio -> every matrix row is a one-hot:
+                # replication upsampling, exact on the 1/256 grid
+                return jnp.einsum("bhwc,Hh,Ww->bHWc", rx, uh, uw)
+
+            def _split(params, x):
+                x = jnp.pad(
+                    x, ((0, 0), (0, eh), (0, ew), (0, 0)), mode="edge"
+                )
+                rx = round_to_grid(
+                    jnp.einsum("bhwc,Hh,Ww->bHWc", x, ph, pw), cfg.nbits
+                )
+                fx = x - _up(rx)
+                return rx, patch_split(fx, cfg.fine.H, cfg.fine.W)
+
+            def _unpool(params, rx):
+                return _up(rx)
 
         self._split = jax.jit(_split)
         self._unpool = jax.jit(_unpool)
@@ -76,7 +120,7 @@ class TwoLevelCodec:
         px = self.fine_codec.decompress(
             self._sub(params, "fine"), blobs[nr:], info["fine"]
         )
-        fx = patch_merge(px, cfg.Hp, cfg.Wp)
+        fx = patch_merge(px, self.Hc, self.Wc)
         x = self._unpool(params, rx) + fx
         return x[:, : cfg.H, : cfg.W, :]
 

@@ -332,7 +332,15 @@ class TestTwoLevelCodec:
         assert np.array_equal(np.asarray(rec), np.asarray(x))
         assert 0 < codec.real_bpd(blobs, info) < 32
 
-    def test_rejects_nondivisible(self, rng):
+    def test_nondivisible_geometry_roundtrip(self, rng):
+        """Hp=16 not divisible by rough 6x6: the codec must pad internally
+        to lcm-divisible dims (24x24 here: integer pooling windows, pure-
+        replication unpool, exact fine tiling) and still round-trip
+        bit-exactly with no side information -- every geometry the trainer
+        accepts (reference pools any ratio, flows.py:209-213) is codable."""
+        import jax
+        import jax.numpy as jnp
+
         from finalproject_losslessimagecompression_tpu.models.twolevel import (
             TwoLevelCfg,
             TwoLevelFlow,
@@ -343,6 +351,9 @@ class TestTwoLevelCodec:
         from finalproject_losslessimagecompression_tpu.models.config import (
             FlowCfg,
         )
+        from finalproject_losslessimagecompression_tpu.ops.rounding import (
+            round_to_grid,
+        )
 
         cfg = TwoLevelCfg(
             H=16,
@@ -352,8 +363,17 @@ class TestTwoLevelCodec:
             rough=FlowCfg.from_ref(small_flow_dict(6, 6, scale=1)),
             fine=FlowCfg.from_ref(small_flow_dict(8, 8, scale=2)),
         )
-        with pytest.raises(NotImplementedError):
-            TwoLevelCodec(TwoLevelFlow(cfg))
+        model = TwoLevelFlow(cfg)
+        x = round_to_grid(
+            jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)), jnp.float32), 8
+        )
+        params = model.init(jax.random.PRNGKey(0), x)
+        codec = TwoLevelCodec(model, num_streams=32)
+        assert (codec.Hc, codec.Wc) == (24, 24)
+        blobs, info = codec.compress(params, x)
+        rec = codec.decompress(params, blobs, info)
+        assert np.array_equal(np.asarray(rec), np.asarray(x))
+        assert 0 < codec.real_bpd(blobs, info) < 48
 
 
 class TestFinetuner:
