@@ -66,15 +66,23 @@ def main():
     # persistent cache.  warm pass: same CLI invocation again -- every
     # program is a cache hit, so this is the steady-state number a user
     # sees from the second run on (VERDICT r3 item 4: the cold number
-    # alone misread as the product's speed).
+    # alone misread as the product's speed).  The warm pass is also
+    # phase-split (codec.TIMER) so the fixed one-shot overhead (model +
+    # checkpoint load, persistent-cache deserialization inside
+    # dispatch_pack's first call per program) is attributed, not guessed.
+    from finalproject_losslessimagecompression_tpu.cli import codec as CC
+
     t0 = time.time()
     cli(["compress", "--config", args.config, "--ckpt", args.ckpt,
          "--input", *files, "--outdir", licdir])
     t_compress_cold = time.time() - t0
+    CC.TIMER.totals.clear()
+    CC.TIMER.counts.clear()
     t0 = time.time()
     cli(["compress", "--config", args.config, "--ckpt", args.ckpt,
          "--input", *files, "--outdir", licdir])
     t_compress = time.time() - t0
+    warm_phases = CC.TIMER.report()  # warm one-shot compress split
     lics = [
         os.path.join(licdir, os.path.basename(f)[:-4] + ".lic")
         for f in files
@@ -83,10 +91,64 @@ def main():
     cli(["decompress", "--config", args.config, "--ckpt", args.ckpt,
          "--input", *lics, "--outdir", recdir])
     t_decompress_cold = time.time() - t0
+    CC.TIMER.totals.clear()
+    CC.TIMER.counts.clear()
     t0 = time.time()
     cli(["decompress", "--config", args.config, "--ckpt", args.ckpt,
          "--input", *lics, "--outdir", recdir])
     t_decompress = time.time() - t0
+    warm_phases.update(CC.TIMER.report())  # + warm one-shot decompress
+
+    # -- serve session: the pipeline object (and every compiled program)
+    # stays alive across commands, so repeated passes measure the
+    # MARGINAL per-corpus cost -- the steady-state rate of a long-running
+    # codec service, directly comparable to bench.py's pipelined serving
+    # number (VERDICT r4 item 1).
+    import statistics
+
+    pipe = CC._load_model(args.config, args.ckpt, 4096)
+    servedir = os.path.join(args.workdir, "serve")
+    os.makedirs(servedir, exist_ok=True)
+    n_tiles = 0
+    for f in files:
+        from PIL import Image as _I
+
+        w, h = _I.open(f).size
+        n_tiles += -(-h // pipe.tile_h) * (-(-w // pipe.tile_w))
+    # session-warm pass (in-memory jit caches for THIS pipeline's
+    # closures fill here, from the persistent cache)
+    import io as _io
+
+    def _cmd(line):
+        buf = _io.StringIO()
+        t0 = time.time()
+        CC.serve(pipe, lines=[line], out=buf)
+        return time.time() - t0
+
+    _cmd("compress %s %s" % (servedir, " ".join(files)))
+    slics = [
+        os.path.join(servedir, os.path.basename(f)[:-4] + ".lic")
+        for f in files
+    ]
+    _cmd("decompress %s %s" % (servedir, " ".join(slics)))
+    CC.TIMER.totals.clear()
+    CC.TIMER.counts.clear()
+    comp_marg, dec_marg = [], []
+    for _ in range(3):
+        comp_marg.append(_cmd("compress %s %s" % (servedir, " ".join(files))))
+        dec_marg.append(_cmd("decompress %s %s" % (servedir, " ".join(slics))))
+    serve_phases = CC.TIMER.report()
+    # serve round trips must still be exact
+    from PIL import Image as _I2
+
+    for f in files:
+        a = np.asarray(_I2.open(f).convert("RGB"))
+        b = np.asarray(_I2.open(
+            os.path.join(servedir, os.path.basename(f))
+        ).convert("RGB"))
+        assert np.array_equal(a, b), f"serve round trip mismatch: {f}"
+    t_comp_marginal = statistics.median(comp_marg)
+    t_dec_marginal = statistics.median(dec_marg)
 
     rows = []
     for f, lic in zip(files, lics):
@@ -141,6 +203,29 @@ def main():
         "compress_wall_cold_s": round(t_compress_cold, 2),
         "decompress_wall_warm_s": round(t_decompress, 2),
         "decompress_wall_cold_s": round(t_decompress_cold, 2),
+        "warm_oneshot_phases": {
+            k: {"total_s": round(v["total_s"], 3), "count": v["count"]}
+            for k, v in sorted(warm_phases.items())
+        },
+        "serve_marginal": {
+            "what": "steady-state per-corpus cost in a `serve` session "
+                    "(pipeline + compiled programs alive across "
+                    "commands); median of 3 passes",
+            "n_model_tiles": n_tiles,
+            "compress_s": round(t_comp_marginal, 3),
+            "decompress_s": round(t_dec_marginal, 3),
+            "compress_samples_s": [round(t, 3) for t in comp_marg],
+            "decompress_samples_s": [round(t, 3) for t in dec_marg],
+            "roundtrip_ms_per_tile": round(
+                1e3 * (t_comp_marginal + t_dec_marginal) / max(n_tiles, 1),
+                2,
+            ),
+            "phases": {
+                k: {"total_s": round(v["total_s"], 3),
+                    "count": v["count"]}
+                for k, v in sorted(serve_phases.items())
+            },
+        },
         "files": rows,
     }
     with open(os.path.join(ROOT, args.out), "w") as f:

@@ -62,6 +62,15 @@ import struct
 import numpy as np
 import yaml
 
+from ..utils.profiling import PhaseTimer
+
+# Module-level phase clock: every load/compress/decompress region below
+# accumulates here, so `--timing` and the `serve` session can report where
+# the wall time actually goes (fixed startup vs marginal per-file work) --
+# the phase-split VERDICT r4 item 1 asked for.  Same discipline as the
+# reference's encode/decode timing print (reference: coder.py:52-64).
+TIMER = PhaseTimer()
+
 _MAGIC = b"LIC1"
 # Flow-container format version.  v2 (round 4) added the per-chunk header
 # and folded the compute-variant tag into the fingerprint -- r3-vintage
@@ -213,6 +222,14 @@ def _init_abstract(model, *example_args):
 
 def _load_model(config_path: str, ckpt_path: str, num_streams: int,
                 vq_ckpt: str = None):
+    with TIMER.phase("startup:load_model"):
+        return _load_model_timed(
+            config_path, ckpt_path, num_streams, vq_ckpt
+        )
+
+
+def _load_model_timed(config_path: str, ckpt_path: str, num_streams: int,
+                      vq_ckpt: str = None):
     import jax
     import jax.numpy as jnp
 
@@ -464,24 +481,29 @@ def compress_files(pipe, in_paths, out_paths, stored_fallback=True,
     discipline).  Tile batches are chunked into powers of two
     (_chunk_sizes) so compiled programs are shared across file sizes."""
     chunks, per_file_nchunks, origs, arrs = [], [], [], []
-    for p in in_paths:
-        x, orig, arr = _to_tiles(pipe, p)
-        sizes = _chunk_sizes(int(x.shape[0]), max_chunk)
-        off = 0
-        for b in sizes:
-            chunks.append(x[off : off + b])
-            off += b
-        per_file_nchunks.append(len(sizes))
-        origs.append(orig)
-        arrs.append(arr if stored_fallback else None)
-    packed = pipe.compress_many(chunks)
-    pos = 0
-    for in_path, out_path, nch, orig, arr in zip(
-        in_paths, out_paths, per_file_nchunks, origs, arrs
-    ):
-        _write_lic(pipe, out_path, packed[pos : pos + nch], orig,
-                   in_path, arr)
-        pos += nch
+    with TIMER.phase("compress:read_tile"):
+        for p in in_paths:
+            x, orig, arr = _to_tiles(pipe, p)
+            sizes = _chunk_sizes(int(x.shape[0]), max_chunk)
+            off = 0
+            for b in sizes:
+                chunks.append(x[off : off + b])
+                off += b
+            per_file_nchunks.append(len(sizes))
+            origs.append(orig)
+            arrs.append(arr if stored_fallback else None)
+    # dispatch + the ONE host sync that packs every container (ends with
+    # host-visible bytes, so this wall phase needs no extra fence)
+    with TIMER.phase("compress:dispatch_pack"):
+        packed = pipe.compress_many(chunks)
+    with TIMER.phase("compress:escape_write"):
+        pos = 0
+        for in_path, out_path, nch, orig, arr in zip(
+            in_paths, out_paths, per_file_nchunks, origs, arrs
+        ):
+            _write_lic(pipe, out_path, packed[pos : pos + nch], orig,
+                       in_path, arr)
+            pos += nch
 
 
 def compress_file(pipe, in_path, out_path, stored_fallback=True):
@@ -583,38 +605,107 @@ def decompress_files(pipe, in_paths, out_paths):
     touch the model."""
     from ..ops.reshape import patch_merge
 
-    parsed = [_read_lic(pipe, p) for p in in_paths]
-    entries = [
-        (i, chunk)
-        for i, (m, chunks, _) in enumerate(parsed)
-        if m == "flow"
-        for chunk in chunks
-    ]
-    recs = (pipe.decompress_many([c for _, c in entries])
-            if entries else [])
-    per_file = {}
-    for (i, _), r in zip(entries, recs):
-        per_file.setdefault(i, []).append(np.asarray(r))
-    for i, (in_path, out_path, (mode, chunks, orig)) in enumerate(
-        zip(in_paths, out_paths, parsed)
-    ):
-        H, W, C = orig
-        if mode == "flow":
-            tiles = (per_file[i][0] if len(per_file[i]) == 1
-                     else np.concatenate(per_file[i], axis=0))
-            full = patch_merge(
-                tiles,
-                H + (-H % pipe.tile_h), W + (-W % pipe.tile_w),
-            )
-            arr = np.round(full[0, :H, :W, :C] * 256.0).astype(np.uint8)
-        else:
-            arr = _decode_stored(mode, chunks[0][0][0], orig, name=in_path)
-        _write_image(out_path, arr)
-        print(f"{in_path} -> {out_path}: {H}x{W}x{C} [{mode}]")
+    with TIMER.phase("decompress:read_parse"):
+        parsed = [_read_lic(pipe, p) for p in in_paths]
+        entries = [
+            (i, chunk)
+            for i, (m, chunks, _) in enumerate(parsed)
+            if m == "flow"
+            for chunk in chunks
+        ]
+    with TIMER.phase("decompress:dispatch_verify"):
+        recs = (pipe.decompress_many([c for _, c in entries])
+                if entries else [])
+        per_file = {}
+        for (i, _), r in zip(entries, recs):
+            per_file.setdefault(i, []).append(np.asarray(r))
+    with TIMER.phase("decompress:merge_write"):
+        for i, (in_path, out_path, (mode, chunks, orig)) in enumerate(
+            zip(in_paths, out_paths, parsed)
+        ):
+            H, W, C = orig
+            if mode == "flow":
+                tiles = (per_file[i][0] if len(per_file[i]) == 1
+                         else np.concatenate(per_file[i], axis=0))
+                full = patch_merge(
+                    tiles,
+                    H + (-H % pipe.tile_h), W + (-W % pipe.tile_w),
+                )
+                arr = np.round(
+                    full[0, :H, :W, :C] * 256.0
+                ).astype(np.uint8)
+            else:
+                arr = _decode_stored(
+                    mode, chunks[0][0][0], orig, name=in_path
+                )
+            _write_image(out_path, arr)
+            print(f"{in_path} -> {out_path}: {H}x{W}x{C} [{mode}]")
 
 
 def decompress_file(pipe, in_path, out_path):
     decompress_files(pipe, [in_path], [out_path])
+
+
+def serve(pipe, lines=None, out=None, stored_fallback=True, max_chunk=64):
+    """Session mode: keep the loaded pipeline (and every compiled program)
+    alive across many compress/decompress commands, so each command pays
+    only its MARGINAL cost -- tile prep, device dispatch, pack, file IO --
+    and never re-pays process startup, model/checkpoint load, or
+    persistent-cache deserialization of the fused programs (the fixed
+    ~20 s that made each one-shot CLI invocation ~30x slower than the
+    framework's own serving rate; VERDICT r4 item 1).
+
+    Line protocol on stdin (or `lines`), one command per line:
+      compress <outdir> <in1> [in2 ...]
+      decompress <outdir> <in1> [in2 ...]
+      timing        -> one JSON line {"phases": {...}} (accumulated)
+      reset-timing
+      quit
+    After each compress/decompress: one line `ok <seconds>` (wall clock of
+    the command, marginal by construction)."""
+    import sys
+    import time
+
+    def _emit(s):
+        print(s, file=out, flush=True) if out else print(s, flush=True)
+
+    def _out_path(path, ext, outdir):
+        base = os.path.splitext(os.path.basename(path))[0]
+        return os.path.join(outdir, base + ext)
+
+    src = lines if lines is not None else sys.stdin
+    for line in src:
+        parts = line.strip().split()
+        if not parts:
+            continue
+        cmd = parts[0]
+        if cmd == "quit":
+            break
+        if cmd == "timing":
+            _emit(json.dumps({"phases": TIMER.report()}))
+            continue
+        if cmd == "reset-timing":
+            TIMER.totals.clear()
+            TIMER.counts.clear()
+            continue
+        if cmd not in ("compress", "decompress") or len(parts) < 3:
+            _emit(f"err unknown command: {line.strip()!r}")
+            continue
+        outdir, paths = parts[1], parts[2:]
+        os.makedirs(outdir, exist_ok=True)
+        t0 = time.time()
+        if cmd == "compress":
+            compress_files(
+                pipe, paths,
+                [_out_path(p, ".lic", outdir) for p in paths],
+                stored_fallback=stored_fallback, max_chunk=max_chunk,
+            )
+        else:
+            decompress_files(
+                pipe, paths,
+                [_out_path(p, ".png", outdir) for p in paths],
+            )
+        _emit(f"ok {time.time() - t0:.4f}")
 
 
 def main(argv=None):
@@ -622,10 +713,11 @@ def main(argv=None):
 
     enable_compile_cache()  # the fused codec programs compile once, ever
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["compress", "decompress"])
+    ap.add_argument("mode", choices=["compress", "decompress", "serve"])
     ap.add_argument("--config", required=True)
     ap.add_argument("--ckpt", required=True)
-    ap.add_argument("--input", nargs="+", required=True)
+    ap.add_argument("--input", nargs="+", default=None,
+                    help="input files (compress/decompress modes)")
     ap.add_argument("--outdir", default=".")
     ap.add_argument("--num-streams", type=int, default=4096)
     ap.add_argument("--vq-ckpt", default=None,
@@ -637,11 +729,20 @@ def main(argv=None):
     ap.add_argument("--max-chunk", type=int, default=64,
                     help="largest tile-chunk batch (power-of-two "
                     "decomposition; bounds compiled program count)")
+    ap.add_argument("--timing", action="store_true",
+                    help="print the accumulated phase table (JSON) at "
+                    "exit: startup vs per-command work")
     args = ap.parse_args(argv)
 
     pipe = _load_model(
         args.config, args.ckpt, args.num_streams, vq_ckpt=args.vq_ckpt
     )
+    if args.mode == "serve":
+        serve(pipe, stored_fallback=not args.no_stored_fallback,
+              max_chunk=args.max_chunk)
+        return
+    if not args.input:
+        raise SystemExit("--input is required for compress/decompress")
     os.makedirs(args.outdir, exist_ok=True)
 
     def _out(path, ext):
@@ -656,6 +757,8 @@ def main(argv=None):
     else:
         decompress_files(pipe, args.input,
                          [_out(p, ".png") for p in args.input])
+    if args.timing:
+        print("timing " + json.dumps({"phases": TIMER.report()}))
 
 
 if __name__ == "__main__":

@@ -276,6 +276,76 @@ class TestFileCodecCLI:
                  for b in _chunk_sizes(n)}
         assert progs <= {1, 2, 4, 8, 16, 32, 64}
 
+    def test_serve_session(self, tmp_path):
+        """Session mode: one loaded pipeline serves many commands; each
+        command pays only marginal cost (no model reload), emits `ok
+        <seconds>`, round-trips bit-exactly, and the timing report splits
+        startup from per-command phases."""
+        import io
+        import json
+
+        from PIL import Image
+
+        from finalproject_losslessimagecompression_tpu.cli import codec as C
+        from finalproject_losslessimagecompression_tpu.cli.train import (
+            build_trainer,
+            load_config,
+        )
+
+        cfg = load_config("configs/smoke_synthetic.yaml")
+        t = cfg["train"]
+        t["max_step"] = 2
+        t["step_per_epoch"] = 2
+        t["evaluate_interval"] = 100
+        t["save_path"] = str(tmp_path / "m.ckpt")
+        t["writer_path"] = str(tmp_path / "logs")
+        build_trainer(cfg).train()
+
+        rng = np.random.default_rng(9)
+        srcs = []
+        for i, shape in enumerate([(12, 14, 3), (20, 35, 3)]):
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            p = str(tmp_path / f"s{i}.png")
+            Image.fromarray(img).save(p)
+            srcs.append((p, img))
+
+        C.TIMER.totals.clear()
+        C.TIMER.counts.clear()
+        pipe = C._load_model(
+            "configs/smoke_synthetic.yaml", t["save_path"], 32
+        )
+        outdir = str(tmp_path / "serve_out")
+        lines = [
+            f"compress {outdir} {srcs[0][0]} {srcs[1][0]}",
+            f"compress {outdir} {srcs[0][0]} {srcs[1][0]}",  # warm repeat
+            "decompress %s %s %s" % (
+                outdir,
+                os.path.join(outdir, "s0.lic"),
+                os.path.join(outdir, "s1.lic"),
+            ),
+            "timing",
+            "bogus command",
+            "quit",
+        ]
+        out = io.StringIO()
+        C.serve(pipe, lines=lines, out=out, stored_fallback=False)
+        emitted = out.getvalue().splitlines()
+        oks = [ln for ln in emitted if ln.startswith("ok ")]
+        assert len(oks) == 3  # 2 compress + 1 decompress
+        assert all(float(ln.split()[1]) >= 0 for ln in oks)
+        assert any(ln.startswith("err ") for ln in emitted)
+        timing = json.loads(
+            [ln for ln in emitted if ln.startswith("{")][0]
+        )["phases"]
+        assert timing["startup:load_model"]["count"] == 1  # loaded ONCE
+        assert timing["compress:dispatch_pack"]["count"] == 2
+        assert timing["decompress:dispatch_verify"]["count"] == 1
+        for p, img in srcs:
+            rec = np.asarray(Image.open(
+                os.path.join(outdir, os.path.basename(p))
+            ))
+            assert np.array_equal(rec, img)
+
     def test_stored_fallback_mode(self, tmp_path):
         """Images the flow codes badly (random noise paying ceil-to-tile
         padding) fall back to the stored escape: the .lic is never more
