@@ -65,6 +65,15 @@ def synth_loader(batch, train, size=(32, 32, 3), length=64, seed=0,
                 shuffle=bool(train), cache=cache)
 
 
+def nat_loader(batch, train, size=(64, 64, 3), length=64, seed=0,
+               cache=False):
+    return dict(name="CustomDataLoader",
+                dataset=dict(name="NaturalSynthetic", size=list(size),
+                             length=length, seed=seed),
+                batch_size=batch, nbits=8, train=train,
+                shuffle=bool(train), cache=cache)
+
+
 def sched():
     return dict(name="WarmUpScheduler", warmup=10, beta=0.99)
 
@@ -390,6 +399,29 @@ CONFIGS["synthetic64_xl_bf16"] = dict(train=dict(
     evaluate_interval=5000, save_interval=5000,
     save_path="./logs/synthetic64_xl_bf16.ckpt",
     writer_path="./logs/log_synthetic64_xl_bf16"))
+
+# -- natural-statistics training run: the same ImageNet64-shaped flow
+#    trained on the NaturalSynthetic family (1/f-spectrum fields + edges
+#    + textures -- statistics shaped like photographs, unlike the
+#    box-blur SyntheticImages).  Held-out split is a disjoint seed
+#    stream; the filecodec demo codes a further held-out corpus with
+#    this checkpoint (VERDICT r4 item 8 / BASELINE metric a).
+CONFIGS["natural64"] = dict(train=dict(
+    steps_per_dispatch=4,
+    model=flow(H=64, W=64, nflows=8, nsplit=3, couple_g=256, couple_d=6,
+               prior_g=256, prior_d=6, act="ReLU"),
+    test_coding=True,
+    log_every=20,
+    train_dataloader=nat_loader(32, True, size=(64, 64, 3), length=8192,
+                                seed=1, cache=True),
+    test_dataloader=nat_loader(8, False, size=(64, 64, 3), length=32,
+                               seed=0, cache=True),
+    optimizer=opt(),
+    scheduler=dict(name="WarmUpScheduler", warmup=2, beta=0.995),
+    max_step=30000, step_per_epoch=256,
+    evaluate_interval=2500, save_interval=2500,
+    save_path="./logs/natural64.ckpt",
+    writer_path="./logs/log_natural64"))
 
 # -- hermetic synthetic smokes (no reference counterpart; CPU-runnable)
 CONFIGS["smoke_synthetic"] = dict(train=dict(

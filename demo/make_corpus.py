@@ -1,6 +1,6 @@
 """Generate the demo corpora for the file-codec demo (run_filecodec_demo.py).
 
-Two corpora:
+Three corpora:
   demo/corpus/          -- structured out-of-domain images (committed in r3):
                            gradients/shapes the model never trained on; the
                            demo records the honest generalization loss there.
@@ -12,6 +12,11 @@ Two corpora:
                            it does on the eval split (results/
                            synthetic64_metrics.jsonl: test bpd 5.65 vs PNG
                            ~6.5).
+  demo/corpus_natural/  -- held-out NaturalSynthetic images (1/f-spectrum
+                           + edges + textures, the training family of
+                           configs/natural64.yaml) at the same size grid;
+                           the natural-statistics generalization corpus
+                           VERDICT r4 item 8 asked for.
 
 Deterministic: seeds are fixed and disjoint from the train (seed 1) and
 eval (seed 0) splits.
@@ -28,6 +33,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 from finalproject_losslessimagecompression_tpu.data.datasets import (  # noqa: E402
+    NaturalSynthetic,
     SyntheticImages,
 )
 
@@ -45,14 +51,13 @@ _SIZES = [
 _HELDOUT_SEED = 7  # train = 1, eval = 0 (configs/synthetic64.yaml)
 
 
-def main(outdir: str | None = None) -> None:
+def _write(ds_cls, outdir: str, **ds_kw) -> None:
     from PIL import Image
 
-    outdir = outdir or os.path.join(ROOT, "demo", "corpus_indomain")
     os.makedirs(outdir, exist_ok=True)
     for i, (name, (h, w)) in enumerate(_SIZES):
-        ds = SyntheticImages(size=(h, w, 3), length=i + 1,
-                             seed=_HELDOUT_SEED)
+        ds = ds_cls(size=(h, w, 3), length=i + 1, seed=_HELDOUT_SEED,
+                    **ds_kw)
         img = ds[i]  # item index varies the per-image stream too
         # uint8 v such that the CLI's v/256 mapping (cli/codec.py) lands on
         # the SAME 1/256-grid values the training loader produced
@@ -60,7 +65,15 @@ def main(outdir: str | None = None) -> None:
         # saturated 256 bin clips to 255
         arr = np.clip(np.round(img * 256.0), 0, 255).astype(np.uint8)
         Image.fromarray(arr).save(os.path.join(outdir, name), optimize=True)
-        print(f"wrote {name} ({h}x{w})")
+        print(f"wrote {os.path.basename(outdir)}/{name} ({h}x{w})")
+
+
+def main(outdir: str | None = None) -> None:
+    if outdir:
+        _write(SyntheticImages, outdir)
+        return
+    _write(SyntheticImages, os.path.join(ROOT, "demo", "corpus_indomain"))
+    _write(NaturalSynthetic, os.path.join(ROOT, "demo", "corpus_natural"))
 
 
 if __name__ == "__main__":

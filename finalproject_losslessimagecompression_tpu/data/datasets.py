@@ -152,6 +152,87 @@ class SyntheticImages:
         return img.astype(np.float32)
 
 
+@DATASETS.register(name="NaturalSynthetic")
+class NaturalSynthetic:
+    """Natural-statistics synthetic family: 1/f^alpha power-law fields
+    (the canonical second-order statistic of natural images), sharp
+    half-plane edges between region means, and occasional oriented
+    gratings (texture), with luminance-correlated channels.  Deterministic
+    per (seed, idx).
+
+    Purpose (VERDICT r4 item 8 / BASELINE metric a): the environment has
+    no ImageNet64/CelebA, and the gradients/shapes demo corpus exercises
+    geometry more than statistics -- this family gives the flow a
+    train/held-out generalization story on statistics shaped like real
+    photographs.  No reference counterpart (the reference has no hermetic
+    data at all, SURVEY.md section 4)."""
+
+    def __init__(self, size=(64, 64, 3), length: int = 2048, seed: int = 0,
+                 alpha_range=(0.9, 1.6), edge_prob: float = 0.7,
+                 texture_prob: float = 0.4):
+        self.size = tuple(size)
+        self.length = length
+        self.seed = seed
+        self.alpha_range = tuple(alpha_range)
+        self.edge_prob = edge_prob
+        self.texture_prob = texture_prob
+
+    def __len__(self):
+        return self.length
+
+    def _powerlaw(self, rng, h, w, alpha):
+        fy = np.fft.fftfreq(h)[:, None]
+        fx = np.fft.fftfreq(w)[None, :]
+        f = np.sqrt(fy * fy + fx * fx)
+        f[0, 0] = 1.0  # kill DC scaling (mean handled separately)
+        amp = f ** (-alpha)
+        amp[0, 0] = 0.0
+        phase = np.exp(2j * np.pi * rng.uniform(size=(h, w)))
+        field = np.fft.ifft2(amp * phase).real
+        s = field.std()
+        return field / (s if s > 1e-12 else 1.0)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        h, w, c = self.size
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, idx])
+        )
+        alpha = rng.uniform(*self.alpha_range)
+        # luminance field shared by all channels + weaker independent
+        # chroma fields (natural images are strongly luminance-correlated)
+        luma = self._powerlaw(rng, h, w, alpha)
+        img = np.stack(
+            [
+                luma + 0.3 * self._powerlaw(rng, h, w, alpha)
+                for _ in range(c)
+            ],
+            axis=-1,
+        )
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        # half-plane edges: step changes in region mean (occlusion
+        # boundaries -- the heavy-tailed gradient statistic)
+        if rng.uniform() < self.edge_prob:
+            for _ in range(rng.integers(1, 4)):
+                th = rng.uniform(0, np.pi)
+                off = rng.uniform(0.2, 0.8)
+                side = (
+                    (xx / w) * np.cos(th) + (yy / h) * np.sin(th) > off
+                )
+                img += side[:, :, None] * rng.uniform(-1.2, 1.2, (c,))
+        # oriented grating in a band (texture)
+        if rng.uniform() < self.texture_prob:
+            th = rng.uniform(0, np.pi)
+            freq = rng.uniform(2.0, 8.0)
+            grating = np.sin(
+                2 * np.pi * freq
+                * ((xx / w) * np.cos(th) + (yy / h) * np.sin(th))
+            )
+            img += 0.25 * grating[:, :, None]
+        # robust [0, 1] mapping: center on the mean, scale by 3 sigma
+        img = 0.5 + (img - img.mean()) / (6.0 * max(img.std(), 1e-6))
+        return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
 class CachedDataset:
     """Memoizing view over any dataset: each item is decoded/generated once
     and then served from a preallocated float32 array.  Keeps the TPU step

@@ -104,6 +104,31 @@ class TestLoader:
         assert np.array_equal(batches[0][:, 5, :, :], batches[0][:, 6, :, :])
         assert sum(b.shape[0] for b in batches) == 5
 
+    def test_natural_synthetic_family(self):
+        """NaturalSynthetic: deterministic per (seed, idx), [0,1] float32,
+        disjoint across seeds, and carrying compressible 1/f structure
+        (std well below uniform noise's 0.289)."""
+        from finalproject_losslessimagecompression_tpu.data.datasets import (
+            NaturalSynthetic,
+        )
+        from finalproject_losslessimagecompression_tpu.registry import (
+            DATASETS,
+        )
+
+        assert DATASETS.get("NaturalSynthetic") is NaturalSynthetic
+        ds = NaturalSynthetic(size=(32, 32, 3), length=8, seed=1)
+        a, b = ds[3], ds[3]
+        assert np.array_equal(a, b)
+        assert a.shape == (32, 32, 3) and a.dtype == np.float32
+        assert 0.0 <= a.min() and a.max() <= 1.0
+        other = NaturalSynthetic(size=(32, 32, 3), length=8, seed=0)
+        assert not np.array_equal(ds[0], other[0])
+        # spatial structure: neighboring pixels correlate strongly in a
+        # 1/f field (uniform noise would be ~0)
+        img = ds[0][:, :, 0]
+        d = img[:, 1:] - img[:, :-1]
+        assert float(np.var(d)) < 0.5 * float(np.var(img))
+
     def test_train_loader_cycles(self):
         from finalproject_losslessimagecompression_tpu.data import (
             DataLoader,
