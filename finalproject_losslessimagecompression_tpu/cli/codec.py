@@ -179,7 +179,8 @@ def _variant_tag(cfg) -> str:
     if isinstance(cfg, FlowCfg):
         c, p = cfg.couple.nn, cfg.prior_nn
         return (f"fuse={int(c.fuse_1x1)},{int(p.fuse_1x1)};"
-                f"dtype={c.dtype},{p.dtype}")
+                f"dtype={c.dtype},{p.dtype};"
+                f"gm={c.growth_multiple},{p.growth_multiple}")
     # TwoLevelCfg: both sub-flows' variants
     return f"rough[{_variant_tag(cfg.rough)}]fine[{_variant_tag(cfg.fine)}]"
 

@@ -192,3 +192,20 @@ def latent_shapes(cfg: FlowCfg) -> Tuple[Tuple[int, int, int], ...]:
     """NHWC latent shapes per split level (reference: latents_shape,
     flows.py:74-78 -- there CHW)."""
     return tuple((p.h, p.w, p.z_ch) for p in level_plans(cfg))
+
+
+def with_growth_multiple(cfg: FlowCfg, multiple: int) -> FlowCfg:
+    """The same flow config with every DenseBlock lane-padded to
+    `multiple` output channels per 3x3 conv.  Pair with
+    models/layers.py:pad_growth_params to run a PARITY-family checkpoint
+    through the full-lane architecture function-preservingly."""
+    from dataclasses import replace
+
+    return replace(
+        cfg,
+        couple=replace(
+            cfg.couple,
+            nn=replace(cfg.couple.nn, growth_multiple=multiple),
+        ),
+        prior_nn=replace(cfg.prior_nn, growth_multiple=multiple),
+    )

@@ -132,6 +132,102 @@ class DenseBlock(nn.Module):
         return out.astype(jnp.float32)
 
 
+def pad_growth_params(params, multiple: int):
+    """Zero-pad every DenseBlock's growth channels in a trained params
+    tree so it loads into the `growth_multiple=multiple` architecture --
+    the function-preserving throughput attack on the PARITY family
+    (VERDICT r4 item 3): the reference growth split (nnblock.py:44,
+    ~43 output lanes per 3x3 conv at flagship scale) starves the MXU's
+    128-lane tiles; padding each layer's growth to full lanes turns the
+    convs into full-lane matmuls while computing the SAME function.
+
+    Why it is function-preserving: padded conv3 output channels have zero
+    weight and bias, so they emit exactly 0.0; act(0) = 0 for ReLU/
+    LeakyReLU/Tanh; every downstream weight READING a padded channel is
+    zero, contributing exactly 0.0 to its reduction.  (XLA may still
+    re-tile the larger reductions, so ULP-level reassociation of the real
+    terms is possible -- irrelevant to coding, whose contract is
+    shared-executable determinism, models/exact.py; the padded variant is
+    a distinct compute variant and fingerprints as such, cli/codec.py.)
+
+    Handles both DenseLayer param layouts (fused conv1_*/conv3_* names
+    and unfused flax conv1/conv3 submodules).  Returns a plain-dict tree
+    shaped for `FlowCfg` with `growth_multiple=multiple` on every
+    DenseBlock (models/config.py:with_growth_multiple).
+    """
+    import numpy as np
+
+    def pad_block(block):
+        layers = sorted(
+            (k for k in block if k.startswith("layer")),
+            key=lambda s: int(s[5:]),
+        )
+        first = block[layers[0]]
+        fused = "conv1_kernel" in first
+        w1_0 = (first["conv1_kernel"] if fused
+                else first["conv1"]["kernel"])
+        C0 = w1_0.shape[-1]
+        # positions of the ORIGINAL stream channels inside the padded
+        # concat stream (padding appends per-layer, so old channels stop
+        # being contiguous after the second layer)
+        old_idx = np.arange(C0)
+        width = C0
+        out = {}
+        for name in layers:
+            lp = block[name]
+            if fused:
+                w1 = np.asarray(lp["conv1_kernel"])
+                b1 = np.asarray(lp["conv1_bias"])
+                w3 = np.asarray(lp["conv3_kernel"])
+                b3 = np.asarray(lp["conv3_bias"])
+            else:
+                w1 = np.asarray(lp["conv1"]["kernel"])
+                b1 = np.asarray(lp["conv1"]["bias"])
+                w3 = np.asarray(lp["conv3"]["kernel"])
+                b3 = np.asarray(lp["conv3"]["bias"])
+            assert w1.shape[-1] == len(old_idx), (
+                w1.shape, len(old_idx))
+            g = w3.shape[-1]
+            gp = -(-g // multiple) * multiple
+            w1p = np.zeros((1, 1, width, width), w1.dtype)
+            w1p[0, 0][np.ix_(old_idx, old_idx)] = w1[0, 0]
+            b1p = np.zeros((width,), b1.dtype)
+            b1p[old_idx] = b1
+            w3p = np.zeros(w3.shape[:2] + (width, gp), w3.dtype)
+            w3p[:, :, old_idx, :g] = w3
+            b3p = np.zeros((gp,), b3.dtype)
+            b3p[:g] = b3
+            if fused:
+                out[name] = {
+                    "conv1_kernel": w1p, "conv1_bias": b1p,
+                    "conv3_kernel": w3p, "conv3_bias": b3p,
+                }
+            else:
+                out[name] = {
+                    "conv1": {"kernel": w1p, "bias": b1p},
+                    "conv3": {"kernel": w3p, "bias": b3p},
+                }
+            old_idx = np.concatenate([old_idx, width + np.arange(g)])
+            width += gp
+        k = np.asarray(block["proj"]["kernel"])
+        kp = np.zeros(k.shape[:2] + (width, k.shape[-1]), k.dtype)
+        kp[:, :, old_idx, :] = k
+        out["proj"] = {
+            "kernel": kp, "bias": np.asarray(block["proj"]["bias"])
+        }
+        return out
+
+    def walk(node):
+        if hasattr(node, "items"):
+            node = dict(node)
+            if "proj" in node and "layer0" in node:
+                return pad_block(node)
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
 class ResBlock(nn.Module):
     """3x3 -> ReLU -> 3x3 residual block with post-add ReLU; optional
     BatchNorm (reference: nnblock.py:60-84)."""
