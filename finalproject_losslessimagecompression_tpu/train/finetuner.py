@@ -68,7 +68,10 @@ class Finetuner:
         init_x = jnp.zeros(
             (1, self.cfg.H, self.cfg.W, self.cfg.C), jnp.float32
         )
-        self.params = self.model.init(jax.random.PRNGKey(seed), init_x)
+        # jitted init: eager flax init pays one tunnel RT per op
+        self.params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(seed), init_x
+        )
         if load_path:
             # cross-variant (fuse_1x1) checkpoints adapt on load
             self.params = restore_into(

@@ -103,11 +103,14 @@ class ResidualTrainer:
             (1, self.cfg.H, self.cfg.W, self.cfg.C), jnp.float32
         )
         if self.cfg.conditional:
-            self.params = self.model.init(
+            # jitted init: eager flax init pays one tunnel RT per op
+            self.params = jax.jit(self.model.init)(
                 jax.random.PRNGKey(seed), init_x, init_x
             )
         else:
-            self.params = self.model.init(jax.random.PRNGKey(seed), init_x)
+            self.params = jax.jit(self.model.init)(
+                jax.random.PRNGKey(seed), init_x
+            )
         self.opt_state = self.optimizer.init(self.params)
         if self.load_path:
             self.restore(self.load_path)

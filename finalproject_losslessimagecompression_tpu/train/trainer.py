@@ -234,7 +234,13 @@ class Trainer:
         init_x = jnp.zeros(
             (1, self.cfg.H, self.cfg.W, self.cfg.C), jnp.float32
         )
-        self.params = self.model.init(jax.random.PRNGKey(seed), init_x)
+        # jit the init: eager flax init dispatches one op per parameter,
+        # and on remote-tunnel runtimes each dispatch costs a host round
+        # trip (minutes for big models; cli/codec.py measured ~335 s
+        # eager).  Values are identical (deterministic PRNG math).
+        self.params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(seed), init_x
+        )
         self.opt_state = self.optimizer.init(self.params)
         if self.load_path:
             self.restore(self.load_path)

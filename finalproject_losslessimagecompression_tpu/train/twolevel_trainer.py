@@ -108,7 +108,10 @@ class TwoLevelTrainer:
 
         init_x = jnp.zeros((1, self.cfg.H, self.cfg.W, self.cfg.C),
                            jnp.float32)
-        self.params = self.model.init(jax.random.PRNGKey(seed), init_x)
+        # jitted init: eager flax init pays one tunnel RT per op
+        self.params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(seed), init_x
+        )
         self.opt_state = self.optimizer.init(self.params)
         if self.load_path:
             self.restore(self.load_path)

@@ -147,7 +147,10 @@ class VQVAETrainer:
         init_x = jnp.zeros(
             (1, 32, 32, self.model.channel), jnp.float32
         )
-        self.params = self.model.init(jax.random.PRNGKey(seed), init_x)
+        # jitted init: eager flax init pays one tunnel RT per op
+        self.params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(seed), init_x
+        )
         self.opt_state = self.optimizer.init(self.params)
         self.counts = jnp.zeros(self.model.embed_num, jnp.float32)
         if self.load_path:
