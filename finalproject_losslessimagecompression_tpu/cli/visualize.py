@@ -37,7 +37,7 @@ def load_model(model_cfg: dict):
     cfg = FlowCfg.from_ref(model_cfg)
     model = IDFlow(cfg)
     init_x = jnp.zeros((1, cfg.H, cfg.W, cfg.C), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), init_x)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), init_x)
     if load_path:
         # restore_into adapts checkpoints written by the other DenseLayer
         # compute variant (fuse_1x1 on/off; exact rename, checkpoint.py)
@@ -55,9 +55,11 @@ def sample(cfg, model, params, writer, batch=16,
             dlogistic_sample(k, jnp.zeros((batch,) + s),
                              jnp.zeros((batch,) + s), cfg.nbits)
         )
+    # jitted: eager apply pays one tunnel RT per conv on remote runtimes
+    gen = jax.jit(lambda p, ns: model.apply(
+        p, ns, method=IDFlow.sample_from_noise))
     for t in temperatures:
-        img = model.apply(params, [n * t for n in noises],
-                          method=IDFlow.sample_from_noise)
+        img = gen(params, [n * t for n in noises])
         writer.add_image_grid(f"sample_t{t}", np.asarray(img), 0)
 
 
@@ -82,11 +84,12 @@ def interpolate(cfg, model, params, writer, corners, grid=8):
             ]
             cols.append([m[None] for m in mixed])
         rows.append(cols)
+    gen = jax.jit(lambda p, ns: model.apply(
+        p, ns, method=IDFlow.sample_from_noise))
     imgs = []
     for i in range(grid):
         for j in range(grid):
-            img = model.apply(params, rows[i][j],
-                              method=IDFlow.sample_from_noise)
+            img = gen(params, rows[i][j])
             imgs.append(np.asarray(img)[0])
     writer.add_image_grid("interpolate", np.stack(imgs), 0, nrow=grid)
 

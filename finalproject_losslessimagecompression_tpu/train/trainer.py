@@ -380,13 +380,19 @@ class Trainer:
                     self.cfg.nbits,
                 )
             )
+        # jitted sample path: the eager apply dispatches one op per conv,
+        # which on remote-tunnel runtimes stalled every eval for minutes
+        # (hundreds of RTs x 3 temperatures); one compiled program reused
+        # across temperatures (same shapes)
+        if not hasattr(self, "_sample_jit"):
+            self._sample_jit = jax.jit(
+                lambda p, ns: self.model.apply(
+                    p, ns, method=IDFlow.sample_from_noise
+                )
+            )
         out = {}
         for t in temperatures:
-            img = self.model.apply(
-                self.params,
-                [n * t for n in noises],
-                method=IDFlow.sample_from_noise,
-            )
+            img = self._sample_jit(self.params, [n * t for n in noises])
             out[t] = np.asarray(img)
         return out
 

@@ -213,13 +213,16 @@ class TwoLevelTrainer:
                     k, jnp.zeros((batch,) + s), jnp.zeros((batch,) + s)
                 )
             )
+        # jitted sample path (eager apply = one tunnel RT per op)
+        if not hasattr(self, "_sample_jit"):
+            self._sample_jit = jax.jit(
+                lambda p, ns: self.model.apply(
+                    p, ns, method=TwoLevelFlow.sample_from_noise
+                )
+            )
         out = {}
         for t in temperatures:
-            img = self.model.apply(
-                self.params,
-                [n * t for n in noises],
-                method=TwoLevelFlow.sample_from_noise,
-            )
+            img = self._sample_jit(self.params, [n * t for n in noises])
             out[t] = np.asarray(img)
         return out
 

@@ -276,6 +276,42 @@ class TestFileCodecCLI:
                  for b in _chunk_sizes(n)}
         assert progs <= {1, 2, 4, 8, 16, 32, 64}
 
+    def test_dtype_override(self, tmp_path):
+        """--dtype bfloat16: the serving-variant override round-trips
+        bit-exactly under itself, and its containers are fingerprint-
+        rejected by the float32 pipeline (variant isolation)."""
+        from PIL import Image
+
+        from finalproject_losslessimagecompression_tpu.cli.codec import main
+        from finalproject_losslessimagecompression_tpu.cli.train import (
+            build_trainer,
+            load_config,
+        )
+
+        cfg = load_config("configs/smoke_synthetic.yaml")
+        t = cfg["train"]
+        t["max_step"] = 2
+        t["step_per_epoch"] = 2
+        t["evaluate_interval"] = 100
+        t["save_path"] = str(tmp_path / "m.ckpt")
+        t["writer_path"] = str(tmp_path / "logs")
+        build_trainer(cfg).train()
+
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        src = str(tmp_path / "d.png")
+        Image.fromarray(img).save(src)
+        args = ["--config", "configs/smoke_synthetic.yaml",
+                "--ckpt", t["save_path"], "--outdir", str(tmp_path),
+                "--num-streams", "32", "--no-stored-fallback"]
+        main(["compress", "--input", src, "--dtype", "bfloat16"] + args)
+        lic = str(tmp_path / "d.lic")
+        main(["decompress", "--input", lic, "--dtype", "bfloat16"] + args)
+        out = np.asarray(Image.open(tmp_path / "d.png"))
+        assert np.array_equal(out, img)
+        with pytest.raises(SystemExit, match="different model"):
+            main(["decompress", "--input", lic] + args)
+
     def test_serve_session(self, tmp_path):
         """Session mode: one loaded pipeline serves many commands; each
         command pays only marginal cost (no model reload), emits `ok
