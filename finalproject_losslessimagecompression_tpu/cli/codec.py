@@ -198,14 +198,21 @@ def _fingerprint(model_cfg: dict, variant: str, *ckpt_paths: str) -> str:
 
 
 def _restore(params, ckpt_path):
+    import jax
+
     from ..train.checkpoint import load_raw, restore_into
 
     raw = load_raw(ckpt_path)
     if "params" not in raw:
         raise SystemExit(f"{ckpt_path}: not a trainer checkpoint")
     # restore_into adapts checkpoints written by the other DenseLayer
-    # compute variant (fuse_1x1 on/off) -- an exact param rename
-    return restore_into(params, raw["params"])
+    # compute variant (fuse_1x1 on/off) -- an exact param rename.
+    # device_put ONCE: restored leaves are host numpy arrays, and a jit
+    # call with numpy params re-uploads the whole tree EVERY call -- on
+    # the tunnel runtime that was ~1.1 s per dispatched chunk (the real
+    # 30x file-CLI gap of VERDICT r4 item 1, measured in
+    # RESULTS_filecodec_r05.json's serve phases before this fix)
+    return jax.device_put(restore_into(params, raw["params"]))
 
 
 def _init_abstract(model, *example_args):
@@ -280,7 +287,7 @@ def _load_model_timed(config_path: str, ckpt_path: str, num_streams: int,
         vqvae = build_vqvae_from_ref(vq_cfg)
         from ..train.checkpoint import load_raw
 
-        vq_params = load_raw(vq_ckpt)["params"]
+        vq_params = jax.device_put(load_raw(vq_ckpt)["params"])
         res = ResidualCodec(
             vqvae, vq_params,
             FlowCodec(model, num_streams=num_streams),

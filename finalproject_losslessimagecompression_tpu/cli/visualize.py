@@ -40,8 +40,11 @@ def load_model(model_cfg: dict):
     params = jax.jit(model.init)(jax.random.PRNGKey(0), init_x)
     if load_path:
         # restore_into adapts checkpoints written by the other DenseLayer
-        # compute variant (fuse_1x1 on/off; exact rename, checkpoint.py)
-        params = restore_into(params, load_raw(load_path)["params"])
+        # compute variant (fuse_1x1 on/off; exact rename, checkpoint.py);
+        # device_put once -- numpy params re-upload on every jitted call
+        params = jax.device_put(
+            restore_into(params, load_raw(load_path)["params"])
+        )
     return cfg, model, params
 
 

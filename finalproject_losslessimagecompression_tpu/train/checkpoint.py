@@ -104,10 +104,24 @@ def load_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     """Restore into the structure of `template` (same pytree layout).
     Checkpoints written by the other DenseLayer compute variant
     (fuse_1x1 on/off) are adapted -- the rename is exact, see
-    adapt_state_dict."""
+    adapt_state_dict.
+
+    The restored tree is device_put ONCE: msgpack leaves are host numpy
+    arrays, and jitted calls with numpy inputs re-upload them on EVERY
+    call -- on the remote-tunnel runtime that cost ~1.1 s per dispatch
+    until the first donating step replaced them (and an eval loop before
+    any step re-paid it per batch)."""
+    import jax
+
     with open(path, "rb") as f:
         blob = f.read()
-    return restore_into(template, serialization.msgpack_restore(blob))
+    restored = restore_into(template, serialization.msgpack_restore(blob))
+    # non-array entries (e.g. the step counter) pass through device_put
+    # as committed scalars; keep plain Python ints as ints instead
+    return {
+        k: (v if isinstance(v, (int, float, str)) else jax.device_put(v))
+        for k, v in restored.items()
+    }
 
 
 def load_raw(path: str) -> Dict[str, Any]:
