@@ -100,7 +100,12 @@ class _PlainPipeline:
         return self.codec.compress_many(self.params, tiles_list)
 
     def decompress_many(self, packed):
-        return self.codec.decompress_many(self.params, packed)
+        # fetch=True folds the decoded batches into the SAME device_get as
+        # the state-invariant check: one host round trip for the whole
+        # queue, instead of 1 (invariants) + one per chunk when the caller
+        # np.asarray's each device array (~15-25 ms tunnel RT each -- this
+        # was most of the serve-mode decompress marginal).
+        return self.codec.decompress_many(self.params, packed, fetch=True)
 
 
 class _ResidualPipeline:
@@ -641,6 +646,12 @@ def decompress_files(pipe, in_paths, out_paths):
     with TIMER.phase("decompress:dispatch_verify"):
         recs = (pipe.decompress_many([c for _, c in entries])
                 if entries else [])
+        # ONE batched transfer for any still-device-resident results
+        # (residual/twolevel pipelines); plain-pipeline results are
+        # already host numpy from the fused fetch and pass through free.
+        import jax
+
+        recs = jax.device_get(recs)
         per_file = {}
         for (i, _), r in zip(entries, recs):
             per_file.setdefault(i, []).append(np.asarray(r))

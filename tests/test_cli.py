@@ -236,6 +236,21 @@ class TestFileCodecCLI:
         out = np.asarray(Image.open(tmp_path / "t.png"))
         assert np.array_equal(out, img)
 
+        # single-round-trip contract of the decode path: the plain
+        # pipeline returns HOST numpy arrays (the decoded data rides the
+        # SAME device_get as the state-invariant check), so
+        # decompress_files pays no per-chunk fetch on top
+        from finalproject_losslessimagecompression_tpu.cli import (
+            codec as CC,
+        )
+
+        pipe = CC._load_model(
+            "configs/smoke_synthetic.yaml", t["save_path"], 32
+        )
+        _, chunks, _ = CC._read_lic(pipe, lic)
+        recs = pipe.decompress_many(chunks)
+        assert all(isinstance(r, np.ndarray) for r in recs)
+
         # image larger than the model dims: tiled into a model-size batch
         # (reference Patching semantics), still bit-exact
         big = rng.integers(0, 256, (20, 35, 3)).astype(np.uint8)
