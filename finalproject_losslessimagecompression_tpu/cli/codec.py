@@ -123,17 +123,23 @@ class _ResidualPipeline:
         self.nbits = res_codec.codec.model.cfg.nbits
 
     def compress_many(self, tiles_list):
-        out = []
-        for x in tiles_list:
-            idx_blob, blobs, info = self.res.compress(self.params, x)
-            out.append(([idx_blob] + list(blobs), info))
-        return out
+        # pipelined: every batch's VQ + flow encode dispatched, then ONE
+        # pack sync + one batched index fetch (see ResidualCodec)
+        return [
+            ([idx_blob] + list(blobs), info)
+            for idx_blob, blobs, info in self.res.compress_many(
+                self.params, tiles_list
+            )
+        ]
 
     def decompress_many(self, packed):
-        return [
-            self.res.decompress(self.params, segs[0], segs[1:], info)
-            for segs, info in packed
-        ]
+        # fetch=True: decoded batches ride the SAME device_get as the
+        # state-invariant check -- one host round trip for the queue
+        return self.res.decompress_many(
+            self.params,
+            [(segs[0], segs[1:], info) for segs, info in packed],
+            fetch=True,
+        )
 
 
 class _TwoLevelPipeline:
@@ -151,11 +157,13 @@ class _TwoLevelPipeline:
         self.nbits = cfg.nbits
 
     def compress_many(self, tiles_list):
-        out = []
-        for x in tiles_list:
-            blobs, info = self.codec.compress(self.params, x)
-            out.append((list(blobs), {"batch": info["batch"]}))
-        return out
+        # pipelined: both levels of every batch dispatched, ONE pack sync
+        return [
+            (list(blobs), {"batch": info["batch"]})
+            for blobs, info in self.codec.compress_many(
+                self.params, tiles_list
+            )
+        ]
 
     def decompress_many(self, packed):
         cfg = self.codec.cfg
@@ -164,13 +172,14 @@ class _TwoLevelPipeline:
         # otherwise -- models/twolevel_codec.py)
         ntiles = (self.codec.Hc // cfg.fine.H) * \
             (self.codec.Wc // cfg.fine.W)
-        recs = []
-        for segs, info in packed:
-            b = int(info["batch"])
-            full = {"batch": b, "rough": {"batch": b},
-                    "fine": {"batch": b * ntiles}}
-            recs.append(self.codec.decompress(self.params, segs, full))
-        return recs
+        full = [
+            (segs, {"batch": int(info["batch"]),
+                    "rough": {"batch": int(info["batch"])},
+                    "fine": {"batch": int(info["batch"]) * ntiles}})
+            for segs, info in packed
+        ]
+        # fetch=True: one round trip for data + all state invariants
+        return self.codec.decompress_many(self.params, full, fetch=True)
 
 
 def _variant_tag(cfg) -> str:

@@ -123,9 +123,11 @@ class ResidualCodec:
 
     # -- API ------------------------------------------------------------
 
-    def compress(self, params, x) -> Tuple[bytes, List[bytes], dict]:
-        """x [B, H, W, C] on the 1/256 grid ->
-        (index stream, residual containers, info)."""
+    def _compress_deferred(self, params, x):
+        """Dispatch one batch's full pipeline (VQ encode, reconstruction,
+        residual flow encode) with NO host sync; returns
+        (device idx, deferred encs, info) for a caller that packs many
+        batches' containers in one transfer."""
         cfg = self.codec.model.cfg
         H, W = self.input_size
         assert x.shape[1:3] == (H, W), (x.shape, self.input_size)
@@ -134,24 +136,85 @@ class ResidualCodec:
         res = x - rec
         patches = patch_split(res, cfg.H, cfg.W)
         rec_patches = patch_split(rec, cfg.H, cfg.W)
-        blobs, info = self.codec.compress(params, patches, rec_patches)
-        K = int(self.vqvae.embed_num)
-        idx_blob = _pack_indices(np.asarray(idx), K)
+        encs, info = self.codec._compress_deferred(
+            params, patches, rec_patches
+        )
         info = dict(info)
         info["images"] = int(x.shape[0])
+        return idx, encs, info
+
+    def compress(self, params, x) -> Tuple[bytes, List[bytes], dict]:
+        """x [B, H, W, C] on the 1/256 grid ->
+        (index stream, residual containers, info)."""
+        from ..codec.container import pack_streams_many
+
+        idx, encs, info = self._compress_deferred(params, x)
+        blobs = pack_streams_many(encs)
+        K = int(self.vqvae.embed_num)
+        idx_blob = _pack_indices(np.asarray(idx), K)
         return idx_blob, blobs, info
 
-    def decompress(self, params, idx_blob: bytes, blobs: Sequence[bytes],
-                   info: dict):
-        """-> x [B, H, W, C], exactly the compressed batch."""
+    def compress_many(self, params, xs):
+        """Pipelined serving encode: dispatch EVERY batch's VQ + flow
+        pipeline, then one pack sync for all containers plus one batched
+        index fetch.  Byte-identical to per-batch compress (containers
+        pack per-encode; indices are deterministic).  Returns a list of
+        (idx_blob, blobs, info)."""
+        from ..codec.container import pack_streams_many
+
+        per = [self._compress_deferred(params, x) for x in xs]
+        flat = [e for _, encs, _ in per for e in encs]
+        blobs = pack_streams_many(flat)  # ONE sync for every container
+        idxs = jax.device_get([idx for idx, _, _ in per])  # one transfer
+        K = int(self.vqvae.embed_num)
+        out, pos = [], 0
+        for (_, encs, info), idx_np in zip(per, idxs):
+            idx_blob = _pack_indices(np.asarray(idx_np), K)
+            out.append((idx_blob, blobs[pos : pos + len(encs)], info))
+            pos += len(encs)
+        return out
+
+    def _decompress_deferred(self, params, idx_blob, blobs, info):
+        """Dispatch one batch's decode sync-free -> (device x, oks)."""
         H, W = self.input_size
         idx, _ = _unpack_indices(idx_blob)
         rec = self._rec_from_idx(self.vq_params, idx)
         cfg = self.codec.model.cfg
         rec_patches = patch_split(rec, cfg.H, cfg.W)
-        patches = self.codec.decompress(params, blobs, info, rec_patches)
+        patches, oks = self.codec._decompress_deferred(
+            params, blobs, info, rec_patches
+        )
         res = patch_merge(patches, H, W)
-        return res + rec
+        return res + rec, list(oks)
+
+    def decompress(self, params, idx_blob: bytes, blobs: Sequence[bytes],
+                   info: dict, fetch: bool = False):
+        """-> x [B, H, W, C], exactly the compressed batch.  fetch=True
+        returns host numpy and folds the result transfer into the SAME
+        device_get as the rANS state-invariant check (one round trip)."""
+        x, oks = self._decompress_deferred(params, idx_blob, blobs, info)
+        if fetch:
+            x_np, got = jax.device_get((x, oks))
+            FlowCodec._check_got(got)
+            return x_np
+        FlowCodec._check_oks(oks)
+        return x
+
+    def decompress_many(self, params, packed, fetch: bool = False):
+        """Pipelined decode of [(idx_blob, blobs, info), ...]: dispatch
+        every batch, then ONE sync verifying all state invariants
+        (fetch=True also returns all decoded batches in that sync)."""
+        xs, oks = [], []
+        for idx_blob, blobs, info in packed:
+            x, ok = self._decompress_deferred(params, idx_blob, blobs, info)
+            xs.append(x)
+            oks.extend(ok)
+        if fetch:
+            xs_np, got = jax.device_get((xs, oks))
+            FlowCodec._check_got(got)
+            return xs_np
+        FlowCodec._check_oks(oks)
+        return xs
 
     def coded_bits(self, idx_blob: bytes, blobs: Sequence[bytes]) -> int:
         return 8 * len(idx_blob) + self.codec.coded_bits(blobs)

@@ -100,29 +100,85 @@ class TwoLevelCodec:
     def _sub(params, name):
         return {"params": params["params"][name]}
 
-    def compress(self, params, x) -> Tuple[List[bytes], dict]:
+    def _compress_deferred(self, params, x):
+        """Dispatch both levels' encodes sync-free; returns
+        (deferred encs, info) for a caller that packs many batches'
+        containers in one transfer.  Containers pack per-encode, so the
+        combined pack is byte-identical to two separate ones."""
         rx, px = self._split(params, x)
-        r_blobs, r_info = self.rough_codec.compress(
+        r_encs, r_info = self.rough_codec._compress_deferred(
             self._sub(params, "rough"), rx
         )
-        f_blobs, f_info = self.fine_codec.compress(
+        f_encs, f_info = self.fine_codec._compress_deferred(
             self._sub(params, "fine"), px
         )
         info = {"batch": int(x.shape[0]), "rough": r_info, "fine": f_info}
-        return r_blobs + f_blobs, info
+        return list(r_encs) + list(f_encs), info
 
-    def decompress(self, params, blobs: Sequence[bytes], info: dict):
+    def compress(self, params, x) -> Tuple[List[bytes], dict]:
+        from ..codec.container import pack_streams_many
+
+        encs, info = self._compress_deferred(params, x)
+        return pack_streams_many(encs), info  # ONE sync, both levels
+
+    def compress_many(self, params, xs):
+        """Pipelined serving encode: dispatch every batch's rough+fine
+        pipelines, then one pack sync for all containers.  Returns a
+        list of (blobs, info)."""
+        from ..codec.container import pack_streams_many
+
+        per = [self._compress_deferred(params, x) for x in xs]
+        flat = [e for encs, _ in per for e in encs]
+        blobs = pack_streams_many(flat)
+        out, pos = [], 0
+        for encs, info in per:
+            out.append((blobs[pos : pos + len(encs)], info))
+            pos += len(encs)
+        return out
+
+    def _decompress_deferred(self, params, blobs, info):
+        """Dispatch one batch's two-level decode sync-free ->
+        (device x, oks).  Rough and fine streams are independent, so both
+        decodes overlap on device."""
         cfg = self.cfg
         nr = cfg.rough.nsplit
-        rx = self.rough_codec.decompress(
+        rx, oks_r = self.rough_codec._decompress_deferred(
             self._sub(params, "rough"), blobs[:nr], info["rough"]
         )
-        px = self.fine_codec.decompress(
+        px, oks_f = self.fine_codec._decompress_deferred(
             self._sub(params, "fine"), blobs[nr:], info["fine"]
         )
         fx = patch_merge(px, self.Hc, self.Wc)
         x = self._unpool(params, rx) + fx
-        return x[:, : cfg.H, : cfg.W, :]
+        return x[:, : cfg.H, : cfg.W, :], list(oks_r) + list(oks_f)
+
+    def decompress(self, params, blobs: Sequence[bytes], info: dict,
+                   fetch: bool = False):
+        """fetch=True returns host numpy and folds the result transfer
+        into the SAME device_get as the state-invariant check."""
+        x, oks = self._decompress_deferred(params, blobs, info)
+        if fetch:
+            x_np, got = jax.device_get((x, oks))
+            FlowCodec._check_got(got)
+            return x_np
+        FlowCodec._check_oks(oks)
+        return x
+
+    def decompress_many(self, params, packed, fetch: bool = False):
+        """Pipelined decode of [(blobs, info), ...]: dispatch every
+        batch, then ONE sync verifying all state invariants (fetch=True
+        also returns all decoded batches in that sync)."""
+        xs, oks = [], []
+        for blobs, info in packed:
+            x, ok = self._decompress_deferred(params, blobs, info)
+            xs.append(x)
+            oks.extend(ok)
+        if fetch:
+            xs_np, got = jax.device_get((xs, oks))
+            FlowCodec._check_got(got)
+            return xs_np
+        FlowCodec._check_oks(oks)
+        return xs
 
     def real_bpd(self, blobs: Sequence[bytes], info: dict) -> float:
         cfg = self.cfg

@@ -375,6 +375,22 @@ class TestTwoLevelCodec:
         assert np.array_equal(np.asarray(rec), np.asarray(x))
         assert 0 < codec.real_bpd(blobs, info) < 48
 
+        # pipelined serving forms: compress_many containers are byte-
+        # identical to per-batch compress (containers pack per-encode);
+        # decompress_many(fetch=True) returns HOST arrays (data rides the
+        # same device_get as the state-invariant check) bit-exactly
+        x2 = round_to_grid(
+            jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)), jnp.float32), 8
+        )
+        packed = codec.compress_many(params, [x, x2])
+        assert [bytes(b) for b in packed[0][0]] == [bytes(b) for b in blobs]
+        b2, i2 = codec.compress(params, x2)
+        assert [bytes(b) for b in packed[1][0]] == [bytes(b) for b in b2]
+        recs = codec.decompress_many(params, packed, fetch=True)
+        assert all(isinstance(r, np.ndarray) for r in recs)
+        assert np.array_equal(recs[0], np.asarray(x))
+        assert np.array_equal(recs[1], np.asarray(x2))
+
 
 class TestFinetuner:
     def test_measure_and_tune(self, tmp_path):
@@ -677,6 +693,29 @@ class TestResidualCodec:
         assert codec.coded_bits(idx_blob, blobs) == 8 * len(idx_blob) + sum(
             8 * len(b) for b in blobs
         )
+
+        # pipelined serving forms: compress_many output (index stream AND
+        # containers) is byte-identical to per-batch compress;
+        # decompress_many(fetch=True) returns HOST arrays bit-exactly in
+        # one round trip (data + invariants in the same device_get)
+        from finalproject_losslessimagecompression_tpu.ops import (
+            round_to_grid as _r2g,
+        )
+
+        x2 = _r2g(
+            jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)),
+            8,
+        )
+        packed = codec.compress_many(params, [x, x2])
+        assert packed[0][0] == idx_blob
+        assert [bytes(b) for b in packed[0][1]] == [bytes(b) for b in blobs]
+        i2, b2, _ = codec.compress(params, x2)
+        assert packed[1][0] == i2
+        assert [bytes(b) for b in packed[1][1]] == [bytes(b) for b in b2]
+        recs = codec.decompress_many(params, packed, fetch=True)
+        assert all(isinstance(r, np.ndarray) for r in recs)
+        assert np.array_equal(recs[0], np.asarray(x))
+        assert np.array_equal(recs[1], np.asarray(x2))
 
     def test_corrupt_index_stream_rejected(self, vqvae_ckpt, rng):
         import numpy as np
